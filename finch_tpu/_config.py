@@ -1,0 +1,25 @@
+"""Global JAX configuration for finch_tpu.
+
+The murmur/bottom-k pipeline is 64-bit integer arithmetic; we require
+jax_enable_x64. On TPU, XLA emulates u64 ops with 32-bit lanes; the
+hand-tuned Pallas kernels in ops/ work on explicit (hi, lo) u32 pairs.
+"""
+
+import os
+
+_configured = False
+
+
+def configure() -> None:
+    global _configured
+    if _configured:
+        return
+    # Must run before JAX creates any arrays.
+    os.environ.setdefault("JAX_ENABLE_X64", "1")
+    try:
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+    except ImportError:  # pragma: no cover - jax is a hard dep in practice
+        pass
+    _configured = True

@@ -1,0 +1,89 @@
+"""Sketching drivers — the equivalents of finch's library API
+(/root/reference/lib/src/lib.rs:29-94 `sketch_files` / `sketch_stream`).
+
+A sketch job streams batches of packed canonical k-mers from the C++ parser
+into a sketching engine (TPU or host backend), then applies filtering and
+the scheme's post-filter rule on the (small) candidate set.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from finch_tpu.core.sketch import Sketch
+from finch_tpu.models.params import FilterParams, SketchParams
+from finch_tpu.models.engine import make_engine
+from finch_tpu.models.allcounts import AllCountsEngine
+from finch_tpu.native import FORMAT_FASTA, FORMAT_FASTQ, KmerReader
+
+
+def _make_engine(sketch_params: SketchParams, backend: str, batch_size: int):
+    if sketch_params.sketch_type == "none":
+        return AllCountsEngine(sketch_params)
+    return make_engine(sketch_params, backend=backend, batch_size=batch_size)
+
+
+def sketch_stream(source, name: str, sketch_params: SketchParams,
+                  filters: FilterParams, backend: str = "auto",
+                  batch_size: int = 1 << 21) -> Sketch:
+    """Sketch one FASTA/FASTQ(.gz) source (path or bytes). lib.rs:51-94."""
+    filter_params = filters.copy()
+    engine = _make_engine(sketch_params, backend, batch_size)
+    canonical = sketch_params.sketch_type != "none"
+    reader = KmerReader(source, k=sketch_params.k, canonical=canonical,
+                        batch_size=batch_size)
+    for packed, rc in reader:
+        engine.update(packed, rc)
+
+    # FASTA disables filtering unless explicitly requested (lib.rs:71-76)
+    if filter_params.filter_on is None:
+        filter_params.filter_on = reader.format == FORMAT_FASTQ
+
+    seq_length, num_valid_kmers, _ = reader.totals
+    if sketch_params.sketch_type == "none":
+        # AllCounts never updates total_bases (counts.rs:8,25-33) and counts
+        # valid kmers via the (saturating) table sum (counts.rs:35-40)
+        seq_length = 0
+        num_valid_kmers = int(np.minimum(engine.counts, 0xFFFFFFFF).sum())
+    reader.close()
+
+    hashes = engine.finalize()
+
+    filtered_hashes = filter_params.filter_counts(hashes)
+    filtered_hashes = sketch_params.process_post_filter(filtered_hashes, name)
+
+    return Sketch(
+        name=name,
+        seq_length=seq_length,
+        num_valid_kmers=num_valid_kmers,
+        comment="",
+        hashes=filtered_hashes,
+        filter_params=filter_params,
+        sketch_params=sketch_params,
+    )
+
+
+def sketch_bytes(data: bytes, name: str, sketch_params: SketchParams,
+                 filters: FilterParams, backend: str = "auto") -> Sketch:
+    return sketch_stream(data, name, sketch_params, filters, backend=backend)
+
+
+def sketch_files(filenames: Sequence[str], sketch_params: SketchParams,
+                 filters: FilterParams, backend: str = "auto",
+                 batch_size: int = 1 << 21) -> List[Sketch]:
+    """Sketch many files (lib.rs:29-49). '-' reads stdin."""
+    sketches = []
+    for filename in filenames:
+        if filename == "-":
+            data = sys.stdin.buffer.read()
+            sketches.append(sketch_stream(
+                data, filename, sketch_params, filters, backend=backend,
+                batch_size=batch_size))
+        else:
+            sketches.append(sketch_stream(
+                filename, filename, sketch_params, filters, backend=backend,
+                batch_size=batch_size))
+    return sketches

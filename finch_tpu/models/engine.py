@@ -1,0 +1,221 @@
+"""Sketching engines: fold k-mer batches into a sketch.
+
+Two interchangeable, bit-identical backends:
+
+* JaxEngine  — the TPU path: vectorized murmur + sort/dedup/top-k on device
+               (ops/murmur3.py, ops/bottomk.py).
+* NumpyEngine — host path for small inputs and as an independent oracle
+               (hashes via the C++ murmur, reductions in NumPy).
+
+Both compute the batch form of the reference's streaming heaps:
+mash  — bottom-K distinct hashes, counts = total stream occurrences
+        (mash.rs:34-63 of /root/reference/lib/src/sketch_schemes/)
+scaled — all distinct hashes <= max_hash plus the smallest above-threshold
+        hashes topped up to `size` total (scaled.rs:37-61)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from finch_tpu.models.params import SketchParams, U32_MAX, U64_MAX
+from finch_tpu.native import murmur3_packed, unpack_kmers
+from finch_tpu.core.sketch import KmerCount
+
+
+def _finalize(params: SketchParams, h, c, e, pk):
+    """Shared finalization: apply the scheme's retention rule and build the
+    ascending-hash KmerCount list (counts saturate to u32, matching the
+    reference's saturating_add accumulation)."""
+    h = np.asarray(h, dtype=np.uint64)
+    c = np.asarray(c, dtype=np.uint64)
+    e = np.asarray(e, dtype=np.uint64)
+    pk = np.asarray(pk, dtype=np.uint64)
+    real = c > 0
+    h, c, e, pk = h[real], c[real], e[real], pk[real]
+
+    if params.sketch_type == "scaled":
+        max_hash = params.max_hash()
+        size = params.kmers_to_sketch
+        below = int(np.searchsorted(h, np.uint64(max_hash), side="right"))
+        topup = max(0, size - below)
+        keep = below + topup
+        h, c, e, pk = h[:keep], c[:keep], e[:keep], pk[:keep]
+    elif params.sketch_type == "mash":
+        keep = params.kmers_to_sketch
+        h, c, e, pk = h[:keep], c[:keep], e[:keep], pk[:keep]
+
+    c = np.minimum(c, np.uint64(U32_MAX)).astype(np.uint32)
+    e = np.minimum(e, np.uint64(U32_MAX)).astype(np.uint32)
+    kmer_bytes = unpack_kmers(pk, params.k)
+    return [
+        KmerCount(hash=int(h[i]), kmer=bytes(kmer_bytes[i]),
+                  count=int(c[i]), extra_count=int(e[i]))
+        for i in range(len(h))
+    ]
+
+
+class NumpyEngine:
+    """Exact host-side batch sketcher."""
+
+    def __init__(self, params: SketchParams):
+        self.params = params
+        self.size = params.kmers_to_sketch
+        self.max_hash = params.max_hash()
+        self.h = np.empty(0, dtype=np.uint64)
+        self.c = np.empty(0, dtype=np.uint64)
+        self.e = np.empty(0, dtype=np.uint64)
+        self.pk = np.empty(0, dtype=np.uint64)
+
+    def _threshold(self) -> int:
+        if self.params.sketch_type == "mash":
+            if self.size == 0:
+                return -1  # nothing is ever admitted
+            if len(self.h) >= self.size:
+                return int(self.h[self.size - 1])
+            return int(U64_MAX)
+        # scaled: the state retains all distinct hashes <= max_hash plus the
+        # `size` smallest above-threshold candidates.
+        if self.size == 0:
+            return self.max_hash
+        below = int(np.searchsorted(self.h, np.uint64(self.max_hash),
+                                    side="right"))
+        n_above = len(self.h) - below
+        if n_above >= self.size:
+            return max(self.max_hash, int(self.h[-1]))
+        return int(U64_MAX)
+
+    def update(self, packed: np.ndarray, rc: np.ndarray) -> None:
+        hashes = murmur3_packed(packed, self.params.k,
+                                self.params.hash_seed)
+        thresh = self._threshold()
+        if thresh < 0:
+            mask = np.zeros(len(hashes), dtype=bool)
+        else:
+            mask = hashes <= np.uint64(thresh)
+        hashes = hashes[mask]
+        packed = np.asarray(packed, dtype=np.uint64)[mask]
+        rc = np.asarray(rc)[mask].astype(np.uint64)
+
+        h = np.concatenate([self.h, hashes])
+        c = np.concatenate([self.c, np.ones(len(hashes), dtype=np.uint64)])
+        e = np.concatenate([self.e, rc])
+        pk = np.concatenate([self.pk, packed])
+        order = np.argsort(h, kind="stable")
+        h, c, e, pk = h[order], c[order], e[order], pk[order]
+        if len(h):
+            boundary = np.empty(len(h), dtype=bool)
+            boundary[0] = True
+            np.not_equal(h[1:], h[:-1], out=boundary[1:])
+            idx = np.flatnonzero(boundary)
+            h = h[idx]
+            c = np.add.reduceat(c, idx)
+            e = np.add.reduceat(e, idx)
+            pk = pk[idx]  # stable sort keeps first-seen kmer for a hash
+        # retention rule
+        if self.params.sketch_type == "mash":
+            keep = self.size
+        else:
+            below = int(np.searchsorted(h, np.uint64(self.max_hash),
+                                        side="right"))
+            keep = below + self.size
+        self.h, self.c, self.e, self.pk = (h[:keep], c[:keep], e[:keep],
+                                           pk[:keep])
+
+    def finalize(self):
+        return _finalize(self.params, self.h, self.c, self.e, self.pk)
+
+
+class JaxEngine:
+    """TPU batch sketcher: fixed-capacity device state, jitted steps."""
+
+    def __init__(self, params: SketchParams, batch_size: int = 1 << 21):
+        import jax.numpy as jnp
+
+        from finch_tpu.ops import bottomk
+
+        self._jnp = jnp
+        self._bottomk = bottomk
+        self.params = params
+        self.size = params.kmers_to_sketch
+        self.max_hash = params.max_hash()
+        self.batch_size = batch_size
+        # initial capacity: mash is fixed at kmers_to_sketch; scaled starts
+        # small and grows when below-threshold distinct hashes approach it.
+        if params.sketch_type == "mash":
+            self.capacity = max(1, self.size)
+        else:
+            self.capacity = max(2 * self.size, 1 << 16)
+        self.state = bottomk.empty_state(self.capacity)
+        self._mh = (jnp.uint64(self.max_hash) if self.max_hash is not None
+                    else jnp.uint64(0))
+
+    @staticmethod
+    def _bucket(n: int) -> int:
+        """Pad to the next power of two (>=1024) to bound retracing while
+        not sorting full-capacity batches for small inputs."""
+        b = 1024
+        while b < n:
+            b <<= 1
+        return b
+
+    def _pad(self, arr, dtype):
+        jnp = self._jnp
+        n = len(arr)
+        b = self._bucket(n)
+        if n == b:
+            return jnp.asarray(arr, dtype=dtype)
+        out = np.zeros(b, dtype=dtype)
+        out[:n] = arr
+        return jnp.asarray(out)
+
+    def update(self, packed: np.ndarray, rc: np.ndarray) -> None:
+        jnp = self._jnp
+        n = len(packed)
+        for off in range(0, max(n, 1), self.batch_size):
+            chunk_pk = packed[off: off + self.batch_size]
+            chunk_rc = rc[off: off + self.batch_size]
+            if len(chunk_pk) == 0:
+                break
+            self._step(chunk_pk, chunk_rc)
+
+    def _step(self, chunk_pk, chunk_rc):
+        jnp = self._jnp
+        bk = self._bottomk
+        nvalid = jnp.uint32(len(chunk_pk))
+        pk_d = self._pad(chunk_pk, np.uint64)
+        rc_d = self._pad(chunk_rc, np.uint8)
+        is_scaled = self.params.sketch_type == "scaled"
+        while True:
+            new_state, below = bk.sketch_step(
+                self.state, pk_d, rc_d, nvalid, self._mh,
+                k=self.params.k, seed=self.params.hash_seed,
+                has_max_hash=is_scaled)
+            if not is_scaled:
+                self.state = new_state
+                return
+            below = int(below)
+            if below + self.size <= self.capacity:
+                self.state = new_state
+                return
+            # grow capacity and redo from the unmodified previous state
+            new_cap = max(self.capacity * 2, below + self.size)
+            template = bk.empty_state(new_cap)
+            self.state = bk.grow_state(self.state, template)
+            self.capacity = new_cap
+
+    def finalize(self):
+        sh, sc, se, spk = self.state
+        return _finalize(self.params, np.asarray(sh), np.asarray(sc),
+                         np.asarray(se), np.asarray(spk))
+
+
+def make_engine(params: SketchParams, backend: str = "auto",
+                batch_size: int = 1 << 21):
+    if backend == "numpy":
+        return NumpyEngine(params)
+    if backend == "jax":
+        return JaxEngine(params, batch_size=batch_size)
+    if backend == "auto":
+        return NumpyEngine(params)
+    raise ValueError(f"unknown backend {backend!r}")

@@ -1,0 +1,179 @@
+"""ctypes bindings to the C++ native host layer (parser / packer / murmur oracle).
+
+The shared library is built on demand from ``src/finch_native.cpp`` and cached
+next to the source (keyed by a content hash), so a fresh checkout needs only
+``g++`` and zlib. See finch-rs's equivalent native layer: the needletail-based
+record loop at /root/reference/lib/src/lib.rs:51-94 and the murmurhash3 crate
+used at /root/reference/lib/src/sketch_schemes/hashing.rs:9-12.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "src", "finch_native.cpp")
+
+_lock = threading.Lock()
+_lib = None
+
+
+class NativeError(RuntimeError):
+    pass
+
+
+_ERRORS = {
+    1: "Could not detect file format (empty or not FASTA/FASTQ?)",
+    2: "No such file or directory",
+    3: "zlib init failed",
+    4: "read/decompress error",
+    5: "malformed FASTQ record",
+    6: "k must be in 1..=31 for the packed path",
+}
+
+
+def _build() -> str:
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    so_path = os.path.join(_HERE, f"_finch_native_{digest}.so")
+    if not os.path.exists(so_path):
+        tmp = so_path + f".tmp{os.getpid()}"
+        cmd = [
+            "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+            _SRC, "-o", tmp, "-lz",
+        ]
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, so_path)
+    return so_path
+
+
+def lib() -> ctypes.CDLL:
+    global _lib
+    if _lib is None:
+        with _lock:
+            if _lib is None:
+                l = ctypes.CDLL(_build())
+                u64 = ctypes.c_uint64
+                u32 = ctypes.c_uint32
+                p = ctypes.POINTER
+                l.fn_murmur3_x64_128.argtypes = [ctypes.c_char_p, u64, u64, p(u64)]
+                l.fn_murmur3_batch.argtypes = [
+                    ctypes.c_void_p, u64, u32, u64, ctypes.c_void_p]
+                l.fn_murmur3_packed.argtypes = [
+                    ctypes.c_void_p, u64, u32, u64, ctypes.c_void_p]
+                l.fn_unpack_kmers.argtypes = [
+                    ctypes.c_void_p, u64, u32, ctypes.c_void_p]
+                l.fn_open_path.restype = ctypes.c_void_p
+                l.fn_open_path.argtypes = [ctypes.c_char_p, p(ctypes.c_int)]
+                l.fn_open_bytes.restype = ctypes.c_void_p
+                l.fn_open_bytes.argtypes = [
+                    ctypes.c_char_p, u64, p(ctypes.c_int)]
+                l.fn_close.argtypes = [ctypes.c_void_p]
+                l.fn_next_batch.restype = ctypes.c_int
+                l.fn_next_batch.argtypes = [
+                    ctypes.c_void_p, u32, ctypes.c_int, u64,
+                    ctypes.c_void_p, ctypes.c_void_p, p(u64), p(ctypes.c_int)]
+                l.fn_totals.argtypes = [ctypes.c_void_p, p(u64), p(u64), p(u64)]
+                l.fn_error.restype = ctypes.c_int
+                l.fn_error.argtypes = [ctypes.c_void_p]
+                _lib = l
+    return _lib
+
+
+def murmur3_x64_128(key: bytes, seed: int = 0) -> tuple[int, int]:
+    """Scalar oracle: MurmurHash3_x64_128(key, seed) -> (h1, h2)."""
+    out = (ctypes.c_uint64 * 2)()
+    lib().fn_murmur3_x64_128(key, len(key), seed, out)
+    return out[0], out[1]
+
+
+def murmur3_packed(packed: np.ndarray, k: int, seed: int = 0) -> np.ndarray:
+    """Hash 2-bit packed k-mer codes on the host (reference path)."""
+    packed = np.ascontiguousarray(packed, dtype=np.uint64)
+    out = np.empty(packed.shape[0], dtype=np.uint64)
+    lib().fn_murmur3_packed(
+        packed.ctypes.data, packed.shape[0], k, seed, out.ctypes.data)
+    return out
+
+
+def unpack_kmers(packed: np.ndarray, k: int) -> np.ndarray:
+    """Decode packed codes to an (n, k) uint8 array of ASCII bases."""
+    packed = np.ascontiguousarray(packed, dtype=np.uint64)
+    out = np.empty((packed.shape[0], k), dtype=np.uint8)
+    lib().fn_unpack_kmers(packed.ctypes.data, packed.shape[0], k, out.ctypes.data)
+    return out
+
+
+FORMAT_UNKNOWN, FORMAT_FASTA, FORMAT_FASTQ = 0, 1, 2
+
+
+class KmerReader:
+    """Streaming canonical k-mer batches from a FASTA/FASTQ(.gz) source.
+
+    Yields (packed_codes: uint64[n], is_rc: uint8[n]) batches; after
+    exhaustion, ``totals`` carries (seq_length, num_valid_kmers, n_records)
+    matching finch's accounting (mash.rs:72, mash.rs:35).
+    """
+
+    def __init__(self, path_or_bytes, k: int, canonical: bool = True,
+                 batch_size: int = 1 << 22):
+        self.k = int(k)
+        self.canonical = bool(canonical)
+        self.batch_size = int(batch_size)
+        self._err = ctypes.c_int(0)
+        self._keepalive = None
+        if isinstance(path_or_bytes, (bytes, bytearray, memoryview)):
+            data = bytes(path_or_bytes)
+            self._keepalive = data
+            self._h = lib().fn_open_bytes(data, len(data), ctypes.byref(self._err))
+        else:
+            self._h = lib().fn_open_path(
+                str(path_or_bytes).encode(), ctypes.byref(self._err))
+        if not self._h:
+            raise NativeError(_ERRORS.get(self._err.value, "open failed"))
+        self.format = FORMAT_UNKNOWN
+        self._done = False
+
+    def __iter__(self):
+        n = ctypes.c_uint64(0)
+        fmt = ctypes.c_int(0)
+        while not self._done:
+            kmers = np.empty(self.batch_size, dtype=np.uint64)
+            rc = np.empty(self.batch_size, dtype=np.uint8)
+            r = lib().fn_next_batch(
+                self._h, self.k, 1 if self.canonical else 0, self.batch_size,
+                kmers.ctypes.data, rc.ctypes.data,
+                ctypes.byref(n), ctypes.byref(fmt))
+            if r < 0:
+                code = lib().fn_error(self._h)
+                raise NativeError(_ERRORS.get(code, f"parse error {code}"))
+            self.format = fmt.value
+            if r == 0:
+                self._done = True
+            if n.value:
+                yield kmers[: n.value], rc[: n.value]
+            if r == 0:
+                break
+
+    @property
+    def totals(self):
+        bases = ctypes.c_uint64(0)
+        kmers = ctypes.c_uint64(0)
+        recs = ctypes.c_uint64(0)
+        lib().fn_totals(self._h, ctypes.byref(bases), ctypes.byref(kmers),
+                        ctypes.byref(recs))
+        return bases.value, kmers.value, recs.value
+
+    def close(self):
+        if getattr(self, "_h", None):
+            lib().fn_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        self.close()

@@ -1,0 +1,114 @@
+"""Distance engine pins from /root/reference/lib/src/distance.rs tests."""
+
+import random
+
+import numpy as np
+
+from finch_tpu.core.distance import (distance, old_distance_arrays,
+                                     raw_distance_arrays)
+from finch_tpu.core.sketch import KmerCount, Sketch
+from finch_tpu.models.params import FilterParams, SketchParams
+
+
+def raw(q, r, scale=0.0):
+    return raw_distance_arrays(np.array(q, np.uint64),
+                               np.array(r, np.uint64), scale)
+
+
+def test_raw_distance():
+    """distance.rs:187-209."""
+    assert raw([0, 1, 2], [1, 2]) == (1.0, 2 / 3, 2, 3)
+    assert raw([0, 2], [1, 2]) == (0.5, 1 / 3, 1, 3)
+    assert raw([0, 1], [2, 3]) == (0.0, 0.0, 0, 2)
+    assert raw([], []) == (0.0, 1.0, 0, 0)
+    assert raw([], [5]) == (0.0, 1.0, 0, 0)
+
+
+def test_raw_distance_scaled():
+    """distance.rs:212-242 (scale 1e-18 -> max_hash 18)."""
+    assert raw([10, 15, 20], [15, 20], 1e-18) == (1.0, 2 / 3, 2, 3)
+    assert raw([5, 10, 15], [5, 10], 1e-18) == (1.0, 2 / 3, 2, 3)
+    assert raw([5, 10, 15, 20], [5, 10], 1e-18) == (1.0, 2 / 3, 2, 3)
+    assert raw([5, 10], [5, 10, 15, 20], 1e-18) == (2 / 3, 2 / 3, 2, 3)
+
+
+def _two_pointer_reference(q, r):
+    """Literal transcription of distance.rs:82-95 for property testing."""
+    i = j = common = 0
+    while i < len(q) and j < len(r):
+        if q[i] < r[j]:
+            i += 1
+        elif q[i] > r[j]:
+            j += 1
+        else:
+            common += 1
+            i += 1
+            j += 1
+    return i, j, common
+
+
+def test_raw_distance_matches_two_pointer_property():
+    random.seed(3)
+    for _ in range(200):
+        q = sorted(random.sample(range(50), random.randint(0, 20)))
+        r = sorted(random.sample(range(50), random.randint(0, 20)))
+        i, j, common = _two_pointer_reference(q, r)
+        cont, jac, com, total = raw(q, r)
+        assert com == common
+        assert total == i - common + j
+        exp_cont = 0.0 if j == 0 else common / j
+        assert cont == exp_cont
+
+
+def test_raw_distance_commutes():
+    """distance.rs:176-185 proptest."""
+    random.seed(4)
+    for _ in range(100):
+        q = sorted(random.sample(range(10**6), random.randint(0, 30)))
+        r = sorted(random.sample(range(10**6), random.randint(0, 30)))
+        assert raw(q, r) == tuple(raw(r, q)[i] for i in (0, 1, 2, 3))
+
+
+def test_old_distance():
+    cont, jac, com, total = old_distance_arrays(
+        np.array([0, 1, 2], np.uint64), np.array([1, 2], np.uint64))
+    assert (com, total) == (2, 2)
+    assert cont == 1.0
+    assert jac == 2 / (2 + 2 * 0)
+
+
+def _mk_sketch(name, hashes, params):
+    return Sketch(name=name, seq_length=0, num_valid_kmers=0, comment="",
+                  hashes=[KmerCount(hash=h, kmer=b"", count=1, extra_count=0)
+                          for h in hashes],
+                  filter_params=FilterParams(), sketch_params=params)
+
+
+def test_distance_full():
+    """distance.rs:312-337 style: identical sketches -> jaccard=1, dist=0."""
+    p = SketchParams.mash(kmers_to_sketch=3, final_size=3, kmer_length=2)
+    s1 = _mk_sketch("a", [1, 2, 3], p)
+    s2 = _mk_sketch("b", [1, 2, 3], p)
+    d = distance(s1, s2)
+    assert d.jaccard == 1.0
+    assert d.containment == 1.0
+    assert d.common_hashes == 3
+    assert d.mash_distance == 0.0
+
+    d2 = distance(_mk_sketch("a", [1, 2], p), _mk_sketch("b", [3, 4], p))
+    assert d2.jaccard == 0.0
+    assert d2.mash_distance == 1.0  # clamped from +inf
+
+
+def test_distance_scaled_min_scale():
+    """distance.rs:23-28: min_scale only when both sketches are scaled."""
+    ps = SketchParams.scaled(kmers_to_sketch=0, kmer_length=2, scale=1e-18)
+    pm = SketchParams.mash(kmers_to_sketch=4, final_size=4, kmer_length=2)
+    s_scaled = _mk_sketch("s", [5, 10, 15, 20], ps)
+    r_scaled = _mk_sketch("r", [5, 10], ps)
+    d = distance(s_scaled, r_scaled)
+    assert (d.common_hashes, d.total_hashes) == (2, 3)  # scaled tail applied
+    s_mash = _mk_sketch("s", [5, 10, 15, 20], pm)
+    r_mash = _mk_sketch("r", [5, 10], pm)
+    d = distance(s_mash, r_mash)
+    assert (d.common_hashes, d.total_hashes) == (2, 2)  # no tail

@@ -1,0 +1,112 @@
+"""Native parser conformance: canonical k-mer enumeration, raw lengths,
+format detection, gz, FASTQ."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from finch_tpu.models import oracle
+from finch_tpu.native import (FORMAT_FASTA, FORMAT_FASTQ, KmerReader,
+                              NativeError, unpack_kmers)
+
+
+def read_all(source, k=21, canonical=True, batch_size=1 << 16):
+    r = KmerReader(source, k=k, canonical=canonical, batch_size=batch_size)
+    packed, rc = [], []
+    for pk, flags in r:
+        packed.append(pk)
+        rc.append(flags)
+    packed = np.concatenate(packed) if packed else np.empty(0, np.uint64)
+    rc = np.concatenate(rc) if rc else np.empty(0, np.uint8)
+    return r, packed, rc
+
+
+def oracle_kmers(records, k):
+    out = []
+    for raw in records:
+        for kmer, is_rc in oracle.canonical_kmers(oracle.normalize(raw), k):
+            out.append((kmer, is_rc))
+    return out
+
+
+def check(source, records, k=21):
+    r, packed, rc = read_all(source, k=k)
+    exp = oracle_kmers(records, k)
+    assert len(packed) == len(exp)
+    got = unpack_kmers(packed, k)
+    for i, (kmer, is_rc) in enumerate(exp):
+        assert bytes(got[i]) == kmer
+        assert bool(rc[i]) == is_rc
+    return r
+
+
+def test_query_fa(query_fa_path):
+    recs = []
+    cur = None
+    for line in open(query_fa_path, "rb"):
+        if line.startswith(b">"):
+            cur = bytearray()
+            recs.append(cur)
+        else:
+            cur += line
+    raws = [bytes(x[:-1]) if x.endswith(b"\n") else bytes(x) for x in recs]
+    r = check(query_fa_path, raws)
+    bases, kmers, n = r.totals
+    assert (bases, kmers, n) == (405, 339, 3)
+    assert r.format == FORMAT_FASTA
+
+
+def test_small_batches_resume(query_fa_path):
+    _, packed1, rc1 = read_all(query_fa_path, batch_size=7)
+    _, packed2, rc2 = read_all(query_fa_path, batch_size=1 << 16)
+    np.testing.assert_array_equal(packed1, packed2)
+    np.testing.assert_array_equal(rc1, rc2)
+
+
+def test_fastq_and_gz():
+    fq = b"@r1\nACGTACGTNACGT\n+\nIIIIIIIIIIIII\n@r2\nacgtacgtacgt\n+\nJJJJJJJJJJJJ\n"
+    r = check(fq, [b"ACGTACGTNACGT", b"acgtacgtacgt"], k=4)
+    assert r.format == FORMAT_FASTQ
+    assert r.totals[0] == 13 + 12
+    r2 = check(gzip.compress(fq), [b"ACGTACGTNACGT", b"acgtacgtacgt"], k=4)
+    assert r2.totals == r.totals
+
+
+def test_lowercase_u_and_invalid():
+    fa = b">x\nacGuUtNRYacgt-acg.t\n"
+    # normalize: acGuUt -> ACGTTT; N,R,Y -> N; '-'/'.' break windows
+    check(fa, [b"acGuUtNRYacgt-acg.t"], k=3)
+
+
+def test_multiline_kmers_span_lines():
+    fa = b">x\nACGTA\nCGT\n>y\nTTTT\n"
+    r = check(fa, [b"ACGTA\nCGT", b"TTTT"], k=6)
+    # seq_length counts raw bytes incl. internal newline, minus trailing
+    assert r.totals[0] == 9 + 4
+    assert r.totals[2] == 2
+
+
+def test_missing_file():
+    with pytest.raises(NativeError, match="No such file"):
+        KmerReader("/does/not/exist.fa", k=21)
+
+
+def test_empty_input_errors():
+    r = KmerReader(b"", k=21)
+    with pytest.raises(NativeError):
+        list(r)
+
+
+def test_bad_format_errors():
+    r = KmerReader(b"not a fasta", k=21)
+    with pytest.raises(NativeError):
+        list(r)
+
+
+def test_noncanonical_bit_kmers():
+    fa = b">x\nACGTNAC\n"
+    r, packed, rc = read_all(fa, k=2, canonical=False)
+    got = [bytes(row) for row in unpack_kmers(packed, 2)]
+    assert got == [b"AC", b"CG", b"GT", b"AC"]
+    assert not rc.any()

@@ -1,0 +1,171 @@
+"""Sketcher semantics: golden k-mer lists + unit pins from the reference's
+in-module tests + batch-vs-streaming property checks."""
+
+import random
+
+import numpy as np
+import pytest
+
+from finch_tpu import FilterParams, SketchParams, sketch_files
+from finch_tpu.core.sketching import sketch_bytes
+from finch_tpu.models.oracle import (OracleMashSketcher, OracleScaledSketcher,
+                                     hash_f)
+
+GOLDEN_KMERS = [
+    "ATGCTAGCTACGTAACGTCGC", "CAGTCGATCGATCGTAGCTGA",
+    "CTCAGATGCTGAGCCGGTCTA", "GCTAGCTAGCATCGCTAGCTA",
+    "GACTAGCTAGCTAGCTAGCGA", "CGCTAGCTACGATCGATCGAC",
+    "TAATTTATACGGGCCTATTAA", "GCATCAGCTAGCATCGCTGTA",
+    "AGCCGGTCTACTACTACACAT", "AAGGCCTAACTTAATAGGCCC",
+]
+
+
+@pytest.mark.parametrize("backend", ["numpy", "jax"])
+def test_golden_mash(query_fa_path, backend):
+    """cli/tests/test_cli.rs:117-149 (finch_sketch_mash golden kmers)."""
+    params = SketchParams.mash(kmers_to_sketch=10, final_size=10,
+                               kmer_length=21, hash_seed=0)
+    s = sketch_files([query_fa_path], params,
+                     FilterParams(filter_on=None, err_filter=0.21,
+                                  strand_filter=0.1),
+                     backend=backend, batch_size=128)[0]
+    assert [kc.kmer.decode() for kc in s.hashes] == GOLDEN_KMERS
+    assert s.seq_length == 405
+    assert s.num_valid_kmers == 339
+
+
+@pytest.mark.parametrize("backend", ["numpy", "jax"])
+def test_golden_scaled(query_fa_path, backend):
+    """cli/tests/test_cli.rs:81-114 (finch_sketch_scaled golden kmers)."""
+    params = SketchParams.scaled(kmers_to_sketch=10, kmer_length=21,
+                                 scale=0.001, hash_seed=0)
+    s = sketch_files([query_fa_path], params,
+                     FilterParams(filter_on=None, err_filter=0.21,
+                                  strand_filter=0.1), backend=backend)[0]
+    assert [kc.kmer.decode() for kc in s.hashes] == GOLDEN_KMERS
+
+
+def _push_kmers(sketcher, kmer_flags):
+    for kmer, flag in kmer_flags:
+        sketcher.push(kmer, flag)
+
+
+def test_oracle_minhash_pins():
+    """mash.rs:115-134 test_minhashkmers."""
+    q = OracleMashSketcher(3, 2, 42)
+    _push_kmers(q, [(b"ca", 0), (b"cc", 1), (b"ac", 0), (b"ac", 1)])
+    arr = q.to_vec()
+    assert [a[1] for a in arr] == [b"cc", b"ca", b"ac"]
+    assert [(a[2], a[3]) for a in arr] == [(1, 1), (1, 0), (2, 1)]
+    assert arr[0][0] < arr[1][0] < arr[2][0]
+
+
+def test_oracle_scaled_pins():
+    """scaled.rs:118-200 unit tests."""
+    for scale in (1.0, 0.001):
+        q = OracleScaledSketcher(3, scale, 2, 42)
+        _push_kmers(q, [(b"ca", 0), (b"cc", 1), (b"ac", 0), (b"ac", 1)])
+        arr = q.to_vec()
+        assert [a[1] for a in arr] == [b"cc", b"ca", b"ac"]
+        assert [(a[2], a[3]) for a in arr] == [(1, 1), (1, 0), (2, 1)]
+
+    q = OracleScaledSketcher(1, 0.01, 4, 42)
+    _push_kmers(q, [(b"AAAA", 0), (b"AGTA", 0), (b"CCCC", 1), (b"ATAA", 0)])
+    arr = q.to_vec()
+    assert len(arr) == 3
+    assert all(a[1] != b"AAAA" for a in arr)
+
+    q = OracleScaledSketcher(0, 0.001, 2, 42)
+    _push_kmers(q, [(b"ca", 0), (b"cc", 1), (b"ac", 0), (b"ac", 1)])
+    assert q.to_vec() == []
+
+
+def test_scaled_invariant_pure():
+    """scaled.rs:202-213 proptest: size=0 keeps only hashes <= max_hash."""
+    random.seed(1)
+    seq = "".join(random.choice("ACGT") for _ in range(600)).encode()
+    q = OracleScaledSketcher(0, 1.0 / 100.0, 2, 42)
+    for i in range(len(seq) - 3):
+        q.push(seq[i : i + 4], 0)
+    max_hash = ((1 << 64) - 1) // 100
+    assert all(a[0] <= max_hash for a in q.to_vec())
+
+
+@pytest.mark.parametrize("backend", ["numpy", "jax"])
+@pytest.mark.parametrize("scheme", ["mash", "scaled"])
+def test_batch_equals_streaming_property(backend, scheme):
+    """Batched engines are hash/count/extra-identical to the streaming heap."""
+    random.seed(12345)
+    for trial in range(6):
+        nrec = random.randint(1, 6)
+        seqs = [
+            "".join(random.choice("ACGTNacgtu")
+                    for _ in range(random.randint(20, 500)))
+            for _ in range(nrec)
+        ]
+        fa = "".join(f">r{i}\n{s}\n" for i, s in enumerate(seqs)).encode()
+        k = random.choice([3, 5, 11, 21])
+        if scheme == "mash":
+            size = random.choice([1, 7, 50])
+            params = SketchParams.mash(kmers_to_sketch=size, final_size=size,
+                                       no_strict=True, kmer_length=k)
+            o = OracleMashSketcher(size, k, 0)
+        else:
+            size = random.choice([0, 3, 20])
+            scale = random.choice([0.5, 0.01, 0.001])
+            params = SketchParams.scaled(kmers_to_sketch=size, kmer_length=k,
+                                         scale=scale)
+            o = OracleScaledSketcher(size, scale, k, 0)
+        for s in seqs:
+            o.process(s.encode())
+        expected = o.to_vec()
+        got = sketch_bytes(fa, "t", params, FilterParams(filter_on=False),
+                           backend=backend)
+        got_t = [(kc.hash, kc.kmer, kc.count, kc.extra_count)
+                 for kc in got.hashes]
+        assert got_t == expected
+        assert got.num_valid_kmers == o.total_kmers
+        assert got.seq_length == o.total_bases
+
+
+def test_strict_mode_raises(query_fa_path):
+    """mod.rs:115-128: fewer kmers than final_size errors unless no_strict."""
+    params = SketchParams.mash(kmers_to_sketch=1000, final_size=1000,
+                               kmer_length=21)
+    with pytest.raises(ValueError, match="too few kmers"):
+        sketch_files([query_fa_path], params, FilterParams(filter_on=False))
+    params = params.replace(no_strict=True)
+    s = sketch_files([query_fa_path], params, FilterParams(filter_on=False))[0]
+    # all distinct canonical 21-mers survive (fewer than final_size)
+    from finch_tpu.models.oracle import canonical_kmers, normalize
+    recs = []
+    cur = None
+    for line in open(query_fa_path, "rb"):
+        if line.startswith(b">"):
+            cur = bytearray()
+            recs.append(cur)
+        else:
+            cur += line
+    distinct = set()
+    for raw in recs:
+        for kmer, _ in canonical_kmers(normalize(bytes(raw)), 21):
+            distinct.add(kmer)
+    assert len(s.hashes) == len(distinct)
+
+
+def test_allcounts_scheme():
+    """counts.rs semantics: forward bit-kmers, RC folding, zero seq_length."""
+    fa = b">x\nACGTAC\n"
+    params = SketchParams.all_counts(kmer_length=2)
+    s = sketch_bytes(fa, "t", params, FilterParams(filter_on=False))
+    # forward 2-mers: AC CG GT TA AC ; table: AC:2 CG:1 GT:1 TA:1
+    # to_vec walks indices ascending: AC(1) folds rc GT(11): count 3, extra 1
+    # CG(6) folds rc CG (palindrome): count 2, extra 1
+    # TA(12) folds rc TA (palindrome): count 2, extra 1
+    by_kmer = {kc.kmer: kc for kc in s.hashes}
+    assert set(by_kmer) == {b"AC", b"CG", b"TA"}
+    assert (by_kmer[b"AC"].count, by_kmer[b"AC"].extra_count) == (3, 1)
+    assert (by_kmer[b"CG"].count, by_kmer[b"CG"].extra_count) == (2, 1)
+    assert (by_kmer[b"TA"].count, by_kmer[b"TA"].extra_count) == (2, 1)
+    assert s.seq_length == 0
+    assert s.num_valid_kmers == 5
