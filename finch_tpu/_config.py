@@ -20,6 +20,11 @@ def configure() -> None:
         import jax
 
         jax.config.update("jax_enable_x64", True)
+        # FINCH_TPU_PLATFORM overrides the JAX platform even when a
+        # sitecustomize pins JAX_PLATFORMS (e.g. force "cpu" in CI).
+        platform = os.environ.get("FINCH_TPU_PLATFORM")
+        if platform:
+            jax.config.update("jax_platforms", platform)
     except ImportError:  # pragma: no cover - jax is a hard dep in practice
         pass
     _configured = True

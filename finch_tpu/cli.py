@@ -1,0 +1,541 @@
+"""finch-compatible CLI: sketch / dist / hist / info.
+
+Flag surface, defaults, and orchestration mirror the reference CLI:
+  * option groups + defaults — /root/reference/cli/src/cli.rs:121-215
+  * err-filter percentage scaling (err *= k/100, limit 100/k) — cli.rs:241-275
+  * mash oversketch rule (kmers_to_sketch = n * oversketch when filtering) —
+    cli.rs:277-340
+  * subcommand orchestration, sketch-in-place, parse_mash_files param
+    inheritance — /root/reference/cli/src/main.rs:48-441
+
+Run as `python -m finch_tpu.cli` or the `finch-tpu` entrypoint.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional
+
+from finch_tpu.core.distance import SketchDistance, distance
+from finch_tpu.core.sketch import Sketch
+from finch_tpu.core.sketching import sketch_files
+from finch_tpu.core.statistics import cardinality, hist
+from finch_tpu.models.params import FilterParams, SketchParams
+from finch_tpu.serialization import (FINCH_BIN_EXT, FINCH_EXT, MASH_EXT,
+                                     open_sketch_file)
+from finch_tpu.serialization.json_sk import format_f64, multisketch_to_json_bytes
+
+
+class CliError(Exception):
+    pass
+
+
+def _add_output_options(p):
+    p.add_argument("-o", "--output", dest="output_file", default=None,
+                   help="Output to this file")
+    p.add_argument("-O", "--std-out", dest="std_out", action="store_true",
+                   help="Output to stdout ('print to terminal')")
+
+
+def _add_filter_options(p):
+    p.add_argument("--no-filter", dest="no_filter", action="store_true",
+                   help="Disable filtering (default for FASTA)")
+    p.add_argument("-f", "--filter", dest="filter", action="store_true",
+                   help="Enable filtering (default for FASTQ)")
+    p.add_argument("--min-abun-filter", dest="min_abun_filter", default=None,
+                   help="Kmers must have at least this coverage to be included")
+    p.add_argument("--max-abun-filter", dest="max_abun_filter", default=None,
+                   help="Kmers must have a coverage under this to be included")
+    p.add_argument("--strand-filter", dest="strand_filter", default=None,
+                   help="Filter out kmers with a canonical kmer percentage "
+                        "lower than this (adapter filtering) [default: 0.1]")
+    p.add_argument("--err-filter", dest="err_filter", default=None,
+                   help="The assumed error rate (as a percentage) used to "
+                        "dynamically determine the minimum coverage threshold "
+                        "[default: 1]")
+
+
+def _add_sketch_options(p):
+    p.add_argument("-s", "--sketch-type", dest="sketch_type", default="mash",
+                   choices=["mash", "scaled", "none"],
+                   help="What type of sketching to perform [default: mash]")
+    p.add_argument("-k", "--kmer-length", dest="kmer_length", default=None,
+                   help="Length of kmers to use [default: 21; 4 for "
+                        "sketch-type none]")
+    p.add_argument("-n", "--n-hashes", dest="n_hashes", default=None,
+                   help="How many kmers/hashes to store [default: 1000]")
+    p.add_argument("--scale", dest="scale", default=None,
+                   help="Sketch scaling factor [default: 0.001]")
+    p.add_argument("--seed", dest="seed", default=None,
+                   help="Seed murmurhash with this value [default: 0]")
+    p.add_argument("--oversketch", dest="oversketch", default=None,
+                   help="The amount of extra sketching to do before filtering "
+                        "[default: 200]")
+    p.add_argument("-N", "--no-strict", dest="no_strict", action="store_true",
+                   help="Allow sketching files with fewer kmers than n_hashes")
+    p.add_argument("--backend", dest="backend", default="auto",
+                   choices=["auto", "numpy", "jax"],
+                   help="Compute backend (finch_tpu extension; auto picks "
+                        "host for small inputs, TPU for large)")
+
+
+def build_cli() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="finch",
+        description="Tool for working with genomic MinHash sketches "
+                    "(TPU-native finch)")
+    sub = ap.add_subparsers(dest="subcommand")
+
+    sp = sub.add_parser("sketch", help="Create sketches from FASTA/Q file(s)")
+    sp.add_argument("INPUT", nargs="+", help="The file(s) to sketch")
+    sp.add_argument("-b", "--finch-binary-format", dest="binary_format",
+                    action="store_true",
+                    help="Outputs sketch to a finch-native binary format")
+    sp.add_argument("-B", "--mash-binary-format", dest="mash_binary_format",
+                    action="store_true",
+                    help="Outputs sketch in a binary format compatible with "
+                         "`mash`")
+    _add_output_options(sp)
+    _add_filter_options(sp)
+    _add_sketch_options(sp)
+
+    dp = sub.add_parser("dist", help="Compute distances between sketches")
+    dp.add_argument("INPUT", nargs="+",
+                    help="Sketchfile(s) to make comparisons for")
+    dp.add_argument("-p", "--pairwise", action="store_true",
+                    help="Calculate distances between all sketches")
+    dp.add_argument("-q", "--queries", nargs="+", default=None,
+                    help="All distances are from these sketches (sketches "
+                         "must be in the first file)")
+    dp.add_argument("-d", "--max-dist", dest="max_distance", default="1.0",
+                    help="Only report distances under this threshold "
+                         "[default: 1.0]")
+    dp.add_argument("--old-dist", dest="old_dist_mode", action="store_true",
+                    help="Calculate distances using the old "
+                         "containment-biased Finch mode")
+    _add_output_options(dp)
+    _add_filter_options(dp)
+    _add_sketch_options(dp)
+
+    hp = sub.add_parser("hist", help="Display histograms of kmer abundances")
+    hp.add_argument("INPUT", nargs="+",
+                    help="Generate histograms from these file(s)")
+    _add_output_options(hp)
+    _add_filter_options(hp)
+    _add_sketch_options(hp)
+
+    ip = sub.add_parser("info", help="Display basic statistics")
+    ip.add_argument("INPUT", nargs="+", help="Return stats on these file(s)")
+    _add_filter_options(ip)
+    _add_sketch_options(ip)
+
+    return ap
+
+
+# ---------------------------------------------------------------------------
+# argument parsing helpers with clap-like occurrence semantics
+# ---------------------------------------------------------------------------
+
+def _get_int(args, key: str, default: int) -> int:
+    raw = getattr(args, key)
+    val = raw if raw is not None else str(default)
+    try:
+        v = int(val)
+        if v < 0:
+            raise ValueError
+        return v
+    except ValueError:
+        raise CliError(f"{key.replace('_', '-')} must be a positive integer")
+
+
+def _get_float(args, key: str, limit: float, default) -> float:
+    raw = getattr(args, key)
+    val = raw if raw is not None else str(default)
+    try:
+        r = float(val)
+    except ValueError:
+        raise CliError(f"{key.replace('_', '-')} must be a number")
+    if not (0.0 <= r <= limit):
+        raise CliError(
+            f"{key.replace('_', '-')} must be between 0 and "
+            f"{format_f64(limit)}")
+    return r
+
+
+def _occurred(args, key: str) -> bool:
+    return getattr(args, key) is not None
+
+
+def get_kmer_length(args) -> int:
+    """default 21, or 4 when sketch-type none (cli.rs:161-167)."""
+    if args.kmer_length is not None:
+        return _get_int(args, "kmer_length", 21)
+    return 4 if args.sketch_type == "none" else 21
+
+
+def parse_filter_options(args, kmer_length: int) -> FilterParams:
+    """cli.rs:241-275."""
+    if args.filter and args.no_filter:
+        raise CliError("Can't have both filtering and no filtering!")
+    filter_on = True if args.filter else (False if args.no_filter else None)
+
+    min_abun = (_get_int(args, "min_abun_filter", 0)
+                if _occurred(args, "min_abun_filter") else None)
+    max_abun = (_get_int(args, "max_abun_filter", 0)
+                if _occurred(args, "max_abun_filter") else None)
+
+    err_filter = _get_float(args, "err_filter", 100.0 / kmer_length, 1)
+    err_filter *= kmer_length / 100.0
+    strand_filter = _get_float(args, "strand_filter", 1.0, 0.1)
+
+    return FilterParams(
+        filter_on=filter_on,
+        abun_filter=(min_abun, max_abun),
+        err_filter=err_filter,
+        strand_filter=strand_filter,
+    )
+
+
+def parse_sketch_options(args, kmer_length: int,
+                         filters_enabled: Optional[bool]) -> SketchParams:
+    """cli.rs:277-340 (incl. per-type flag conflict checks)."""
+    st = args.sketch_type
+    if st == "mash":
+        if _occurred(args, "scale"):
+            raise CliError("`scale` can not be specified for `mash` sketch types")
+        final_size = _get_int(args, "n_hashes", 1000)
+        oversketch = _get_int(args, "oversketch", 200)
+        sketch_size = final_size * oversketch
+        kmers_to_sketch = (sketch_size if filters_enabled in (True, None)
+                           else final_size)
+        return SketchParams.mash(
+            kmers_to_sketch=kmers_to_sketch,
+            final_size=final_size,
+            no_strict=bool(args.no_strict),
+            kmer_length=kmer_length,
+            hash_seed=_get_int(args, "seed", 0),
+        )
+    if st == "scaled":
+        if _occurred(args, "oversketch"):
+            raise CliError(
+                "`oversketch` can not be specified for `scaled` sketch types")
+        if args.no_strict:
+            raise CliError(
+                "`no_strict` can not be specified for `scaled` sketch types")
+        return SketchParams.scaled(
+            kmers_to_sketch=_get_int(args, "n_hashes", 1000),
+            kmer_length=kmer_length,
+            scale=_get_float(args, "scale", 1.0, 0.001),
+            hash_seed=_get_int(args, "seed", 0),
+        )
+    if st == "none":
+        for key, label in (("n_hashes", "n_hashes"), ("seed", "seed"),
+                           ("oversketch", "oversketch"), ("scale", "scale")):
+            if _occurred(args, key):
+                raise CliError(
+                    f"`{label}` can not be specified for `none` sketch types")
+        if args.no_strict:
+            raise CliError(
+                "`no_strict` can not be specified for `none` sketch types")
+        return SketchParams.all_counts(kmer_length=kmer_length)
+    raise CliError("A unknown sketch type was selected")
+
+
+def update_sketch_params(args, sketch_params: SketchParams, sketch: Sketch,
+                         name: str) -> SketchParams:
+    """Inherit unset CLI args from the first sketch file (main.rs:336-441)."""
+    new = sketch.sketch_params
+    if sketch_params.sketch_type != new.sketch_type:
+        raise CliError("Sketch types are not the same")
+
+    updates = {}
+    if sketch_params.sketch_type == "mash":
+        if not _occurred(args, "n_hashes"):
+            updates["final_size"] = new.expected_size()
+        if not _occurred(args, "kmer_length"):
+            updates["kmer_length"] = new.k
+        elif sketch_params.k != new.k:
+            raise CliError(
+                f"Specified kmer length {sketch_params.k} does not match "
+                f"{new.k} from sketch {name}")
+        if not _occurred(args, "seed"):
+            updates["hash_seed"] = new.hash_info()[2]
+        elif sketch_params.hash_seed != new.hash_info()[2]:
+            raise CliError(
+                f"Specified hash seed {sketch_params.hash_seed} does not "
+                f"match {new.hash_info()[2]} from sketch {name}")
+    elif sketch_params.sketch_type == "scaled":
+        if not _occurred(args, "kmer_length"):
+            updates["kmer_length"] = new.k
+        elif sketch_params.k != new.k:
+            raise CliError(
+                f"Specified kmer length {sketch_params.k} does not match "
+                f"{new.k} from sketch {name}")
+        if not _occurred(args, "seed"):
+            updates["hash_seed"] = new.hash_info()[2]
+        elif sketch_params.hash_seed != new.hash_info()[2]:
+            raise CliError(
+                f"Specified hash seed {sketch_params.hash_seed} does not "
+                f"match {new.hash_info()[2]} from sketch {name}")
+        new_scale = new.hash_info()[3]
+        if new_scale is not None:
+            if not _occurred(args, "scale"):
+                updates["scale"] = new_scale
+            elif abs(sketch_params.scale - new_scale) < 2.220446049250313e-16:
+                # NOTE: faithful to a reference quirk — main.rs:416-424 bails
+                # when the specified scale MATCHES the sketch's scale (the
+                # comparison is inverted in the reference).
+                raise CliError(
+                    f"Specified scale {sketch_params.scale} does not match "
+                    f"{new_scale} from sketch {name}")
+    else:  # none
+        if not _occurred(args, "kmer_length"):
+            updates["kmer_length"] = new.k
+        elif sketch_params.k != new.k:
+            raise CliError(
+                f"Specified kmer length {sketch_params.k} does not match "
+                f"{new.k} from sketch {name}")
+    return sketch_params.replace(**updates) if updates else sketch_params
+
+
+SKETCH_EXTS = (".json", FINCH_EXT, FINCH_BIN_EXT, MASH_EXT)
+
+
+def parse_mash_files(args) -> List[Sketch]:
+    """Split inputs into sketch vs sequence files; harmonize params
+    (main.rs:237-313)."""
+    sketch_filenames = [f for f in args.INPUT if f.endswith(SKETCH_EXTS)]
+    seq_filenames = [f for f in args.INPUT if not f.endswith(SKETCH_EXTS)]
+
+    kmer_length = get_kmer_length(args)
+    filters = parse_filter_options(args, kmer_length)
+    sketch_params = parse_sketch_options(args, kmer_length, filters.filter_on)
+
+    if not sketch_filenames:
+        return sketch_files(seq_filenames, sketch_params, filters,
+                            backend=args.backend)
+
+    first, rest = sketch_filenames[0], sketch_filenames[1:]
+    sketches = open_sketch_file(first)
+    sketch_params = update_sketch_params(args, sketch_params, sketches[0],
+                                         first)
+    # err_filter scales with k, so re-derive filters if k was inherited
+    if not _occurred(args, "kmer_length"):
+        filters = parse_filter_options(args, sketch_params.k)
+
+    if filters.filter_on is True:
+        for sketch in sketches:
+            filters.filter_sketch(sketch)
+
+    for filename in rest:
+        extra = open_sketch_file(filename)
+        for sketch in extra:
+            mism = sketch_params.check_compatibility(sketch.sketch_params)
+            if mism is not None:
+                pname, v1, v2 = mism
+                raise CliError(
+                    f"Sketch {sketch.name} has {pname} {v2}, but working "
+                    f"value is {v1}")
+        sketches.extend(extra)
+        if filters.filter_on is True:
+            # faithful quirk: the reference refilters the whole accumulated
+            # list after each extra file (main.rs:296-301)
+            for sketch in sketches:
+                filters.filter_sketch(sketch)
+
+    sketches.extend(sketch_files(seq_filenames, sketch_params, filters,
+                                 backend=args.backend))
+    return sketches
+
+
+def calc_sketch_distances(query_sketches, ref_sketches, old_mode: bool,
+                          max_distance: float) -> List[SketchDistance]:
+    """main.rs:315-334 (skips query==ref by full struct equality)."""
+    distances = []
+    for ref_sketch in ref_sketches:
+        for query_sketch in query_sketches:
+            if query_sketch == ref_sketch:
+                continue
+            d = distance(query_sketch, ref_sketch, old_mode)
+            if d.mash_distance <= max_distance:
+                distances.append(d)
+    return distances
+
+
+def output_to(write_fn, output: Optional[str], extension: str) -> None:
+    """stdout or file, appending the extension if missing (main.rs:21-46)."""
+    if output is None:
+        write_fn(sys.stdout.buffer)
+        sys.stdout.buffer.flush()
+    else:
+        out_filename = output if output.endswith(extension) else (
+            output + extension)
+        try:
+            f = open(out_filename, "wb")
+        except OSError:
+            raise CliError(f"unable to create '{out_filename}'")
+        with f:
+            write_fn(f)
+
+
+def _dist_json_bytes(distances: List[SketchDistance]) -> bytes:
+    """serde_json-compatible compact JSON for Vec<SketchDistance>
+    (mod.rs:31-43 field names/order)."""
+    import json as _json
+
+    parts = []
+    for d in distances:
+        obj = (
+            '{"containment":' + format_f64(d.containment)
+            + ',"jaccard":' + format_f64(d.jaccard)
+            + ',"mashDistance":' + format_f64(d.mash_distance)
+            + ',"commonHashes":' + str(d.common_hashes)
+            + ',"totalHashes":' + str(d.total_hashes)
+            + ',"query":' + _json.dumps(d.query, ensure_ascii=False,
+                                        separators=(",", ":"))
+            + ',"reference":' + _json.dumps(d.reference, ensure_ascii=False,
+                                            separators=(",", ":"))
+            + "}")
+        parts.append(obj)
+    return ("[" + ",".join(parts) + "]").encode("utf-8")
+
+
+def generate_sketch_files(args, file_ext: str) -> None:
+    """Sketch-in-place: write <input><ext> next to each input
+    (main.rs:201-235)."""
+    kmer_length = get_kmer_length(args)
+    filters = parse_filter_options(args, kmer_length)
+    sketch_params = parse_sketch_options(args, kmer_length, filters.filter_on)
+
+    for filename in args.INPUT:
+        if filename.endswith(SKETCH_EXTS):
+            raise CliError(f"Filename {filename} is not a sequence file?")
+        sketches = sketch_files([filename], sketch_params, filters,
+                                backend=args.backend)
+        out_filename = filename + file_ext
+        try:
+            out = open(out_filename, "wb")
+        except OSError:
+            raise CliError(f"Could not open {out_filename}")
+        with out:
+            _write_sketches(out, sketches, args)
+
+
+def _write_sketches(writer, sketches, args) -> None:
+    if getattr(args, "binary_format", False):
+        from finch_tpu.serialization.finch_bsk import write_finch_file
+        writer.write(write_finch_file(sketches))
+    elif getattr(args, "mash_binary_format", False):
+        from finch_tpu.serialization.mash_msh import write_mash_file
+        writer.write(write_mash_file(sketches))
+    else:
+        writer.write(multisketch_to_json_bytes(sketches))
+
+
+def run(argv=None) -> None:
+    args = build_cli().parse_args(argv)
+    if args.subcommand is None:
+        build_cli().print_help()
+        raise SystemExit(2)
+
+    if args.subcommand == "sketch":
+        if args.binary_format and args.mash_binary_format:
+            raise CliError("Can't output both binary formats")
+        file_ext = (FINCH_BIN_EXT if args.binary_format
+                    else MASH_EXT if args.mash_binary_format
+                    else FINCH_EXT)
+        if args.output_file or args.std_out:
+            sketches = parse_mash_files(args)
+            output_to(lambda w: _write_sketches(w, sketches, args),
+                      args.output_file, file_ext)
+        else:
+            generate_sketch_files(args, file_ext)
+
+    elif args.subcommand == "dist":
+        max_dist = _get_float(args, "max_distance", 1.0, 1.0)
+        all_sketches = parse_mash_files(args)
+        if args.pairwise and args.queries:
+            raise CliError("--pairwise conflicts with --queries")
+        if args.pairwise:
+            query_sketches = list(all_sketches)
+        elif args.queries:
+            names = set(args.queries)
+            query_sketches = [s for s in all_sketches if s.name in names]
+        else:
+            if not all_sketches:
+                raise CliError("No sketches present!")
+            query_sketches = [all_sketches[0]]
+        distances = calc_sketch_distances(
+            query_sketches, all_sketches, args.old_dist_mode, max_dist)
+        output_to(lambda w: w.write(_dist_json_bytes(distances)),
+                  args.output_file, ".json")
+
+    elif args.subcommand == "hist":
+        import json as _json
+
+        sketches = parse_mash_files(args)
+        hist_map = {s.name: hist(s.hashes) for s in sketches}
+        payload = _json.dumps(hist_map, ensure_ascii=False,
+                              separators=(",", ":")).encode("utf-8")
+        output_to(lambda w: w.write(payload), args.output_file, ".json")
+
+    elif args.subcommand == "info":
+        import numpy as np
+
+        sketches = parse_mash_files(args)
+        for sketch in sketches:
+            # text format faithful to main.rs:146-187
+            sys.stdout.write(f"{sketch.name}")
+            sys.stdout.write(f" (from {sketch.seq_length}bp)\n")
+            kmers = sketch.hashes
+            c = cardinality(kmers)
+            sys.stdout.write(f"  Estimated # of Unique Kmers: {c}\n")
+            histogram = hist(kmers)
+            num = np.float32(0)
+            den = np.float32(0)
+            for i, v in enumerate(histogram):
+                num += np.float32(i + 1) * np.float32(v)
+                den += np.float32(v)
+            mean = np.float32(num / den) if den or num else np.float32("nan")
+            sys.stdout.write(
+                f"  Estimated Average Depth: {_fmt_f32(mean)}x\n")
+            total_gc = 0
+            for kc in kmers:
+                total_gc += sum(
+                    kc.count if b in b"GgCc" else 0 for b in kc.kmer)
+            if not kmers:
+                total_bases = np.float32(0)
+            else:
+                total_bases = np.float32(num * np.float32(len(kmers[0].kmer)))
+            pct = np.float32(np.float32(100) * np.float32(total_gc)
+                             / total_bases)
+            sys.stdout.write(f"  Estimated % GC: {_fmt_f32(pct)}%\n")
+
+
+def _fmt_f32(x) -> str:
+    """Rust f32 Display (shortest round-trip; 'NaN'/'inf')."""
+    import numpy as np
+
+    if np.isnan(x):
+        return "NaN"
+    if np.isinf(x):
+        return "inf" if x > 0 else "-inf"
+    s = repr(float(np.float32(x)))
+    # f32 shortest repr: numpy float32 repr already minimal; strip exponent +
+    r = np.format_float_positional(np.float32(x), unique=True, trim="-")
+    return r
+
+
+def main() -> None:
+    try:
+        run()
+    except (CliError, ValueError) as err:
+        sys.stderr.write(f"Error: {err}\n")
+        raise SystemExit(1)
+    except BrokenPipeError:
+        raise SystemExit(0)
+
+
+if __name__ == "__main__":
+    main()

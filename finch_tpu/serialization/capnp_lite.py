@@ -1,0 +1,368 @@
+"""Minimal Cap'n Proto (standard serialization) runtime.
+
+Just enough of the wire format to read/write the two fixed schemas the
+reference uses (finch.capnp / mash.capnp): segment framing, struct & list
+pointers (incl. composite struct lists), Text/Data, bool bitfields, default
+masks, and far pointers on the read path (capnp builders emit multi-segment
+messages for large sketch collections).
+
+Wire format reference: capnproto.org/encoding.html. The field offsets used by
+the codecs were pinned against the reference's capnpc-generated accessors
+(/root/reference/lib/src/serialization/finch_capnp.rs,
+ /root/reference/lib/src/serialization/mash_capnp.rs).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List, Optional, Tuple
+
+WORD = 8
+
+
+class CapnpError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Reader
+# ---------------------------------------------------------------------------
+
+class MessageReader:
+    def __init__(self, data: bytes, traversal_limit_words: int = 1 << 30):
+        if len(data) < 8:
+            raise CapnpError("truncated capnp message")
+        n_minus_1 = struct.unpack_from("<I", data, 0)[0]
+        nseg = n_minus_1 + 1
+        header_words = (nseg // 2) + 1
+        sizes = struct.unpack_from(f"<{nseg}I", data, 4)
+        self.segments: List[memoryview] = []
+        off = header_words * WORD
+        for s in sizes:
+            end = off + s * WORD
+            if end > len(data):
+                raise CapnpError("capnp segment extends past buffer")
+            self.segments.append(memoryview(data)[off:end])
+            off = end
+        total = sum(sizes)
+        if total > traversal_limit_words:
+            raise CapnpError("capnp traversal limit exceeded")
+
+    def root(self) -> "StructReader":
+        obj = read_pointer(self.segments, 0, 0)
+        if obj is None:
+            return StructReader(self.segments, 0, 0, 0, 0, 0)
+        if not isinstance(obj, StructReader):
+            raise CapnpError("root is not a struct")
+        return obj
+
+
+def _word(seg: memoryview, word_ofs: int) -> int:
+    return struct.unpack_from("<Q", seg, word_ofs * WORD)[0]
+
+
+def read_pointer(segments, seg_id: int, word_ofs: int):
+    """Decode the pointer at (seg_id, word_ofs). Returns StructReader,
+    ListReader, or None for null."""
+    ptr = _word(segments[seg_id], word_ofs)
+    if ptr == 0:
+        return None
+    kind = ptr & 3
+    if kind == 2:  # far pointer
+        double = (ptr >> 2) & 1
+        pad_ofs = (ptr >> 3) & ((1 << 29) - 1)
+        target_seg = ptr >> 32
+        if target_seg >= len(segments):
+            raise CapnpError("far pointer to missing segment")
+        if not double:
+            return read_pointer(segments, target_seg, pad_ofs)
+        # double-far: landing pad is [far ptr to content start, tag word]
+        pad = _word(segments[target_seg], pad_ofs)
+        if pad & 3 != 2:
+            raise CapnpError("bad double-far landing pad")
+        content_seg = pad >> 32
+        content_ofs = (pad >> 3) & ((1 << 29) - 1)
+        tag = _word(segments[target_seg], pad_ofs + 1)
+        return _decode_tagged(segments, content_seg, content_ofs, tag)
+    # intra-segment struct/list pointer: target is relative to the word
+    # after the pointer
+    offset = _sign30((ptr >> 2) & ((1 << 30) - 1))
+    target = word_ofs + 1 + offset
+    return _decode_tagged(segments, seg_id, target, ptr, tagged_at_target=True)
+
+
+def _sign30(v: int) -> int:
+    return v - (1 << 30) if v & (1 << 29) else v
+
+
+def _decode_tagged(segments, seg_id, target, tag, tagged_at_target=False):
+    kind = tag & 3
+    if kind == 0:  # struct
+        data_words = (tag >> 32) & 0xFFFF
+        ptr_words = (tag >> 48) & 0xFFFF
+        return StructReader(segments, seg_id, target, data_words, ptr_words,
+                            0)
+    if kind == 1:  # list
+        elem_size = (tag >> 32) & 7
+        count = (tag >> 35) & ((1 << 29) - 1)
+        return ListReader(segments, seg_id, target, elem_size, count)
+    raise CapnpError(f"unsupported pointer kind {kind}")
+
+
+class StructReader:
+    __slots__ = ("segments", "seg_id", "word_ofs", "data_words", "ptr_words",
+                 "_unused")
+
+    def __init__(self, segments, seg_id, word_ofs, data_words, ptr_words,
+                 _unused):
+        self.segments = segments
+        self.seg_id = seg_id
+        self.word_ofs = word_ofs
+        self.data_words = data_words
+        self.ptr_words = ptr_words
+
+    def _data(self) -> memoryview:
+        seg = self.segments[self.seg_id]
+        start = self.word_ofs * WORD
+        return seg[start : start + self.data_words * WORD]
+
+    def _get(self, fmt: str, size: int, index: int, default: int = 0):
+        off = index * size
+        data = self._data()
+        if off + size > len(data):
+            return default if fmt in "QIHB" else 0.0
+        return struct.unpack_from("<" + fmt, data, off)[0]
+
+    def get_u64(self, i, mask=0):
+        return self._get("Q", 8, i) ^ mask
+
+    def get_u32(self, i, mask=0):
+        return self._get("I", 4, i) ^ mask
+
+    def get_u16(self, i, mask=0):
+        return self._get("H", 2, i) ^ mask
+
+    def get_u8(self, i, mask=0):
+        return self._get("B", 1, i) ^ mask
+
+    def get_f64(self, i):
+        return self._get("d", 8, i)
+
+    def get_f32(self, i):
+        return self._get("f", 4, i)
+
+    def get_bool(self, bit: int, default: bool = False) -> bool:
+        byte = bit // 8
+        data = self._data()
+        if byte >= len(data):
+            return default
+        return bool((data[byte] >> (bit % 8)) & 1) ^ default
+
+    def get_ptr(self, i: int):
+        if i >= self.ptr_words:
+            return None
+        return read_pointer(self.segments, self.seg_id,
+                            self.word_ofs + self.data_words + i)
+
+    def get_text(self, i: int) -> Optional[str]:
+        obj = self.get_ptr(i)
+        if obj is None:
+            return None
+        return obj.as_bytes()[:-1].decode("utf-8")  # strip NUL
+
+    def get_data(self, i: int) -> Optional[bytes]:
+        obj = self.get_ptr(i)
+        if obj is None:
+            return None
+        return obj.as_bytes()
+
+
+ELEM_BITS = {0: 0, 1: 1, 2: 8, 3: 16, 4: 32, 5: 64, 6: 64}
+
+
+class ListReader:
+    __slots__ = ("segments", "seg_id", "word_ofs", "elem_size", "count",
+                 "tag")
+
+    def __init__(self, segments, seg_id, word_ofs, elem_size, count):
+        self.segments = segments
+        self.seg_id = seg_id
+        self.elem_size = elem_size
+        if elem_size == 7:  # composite: count word holds total words
+            tag = _word(segments[seg_id], word_ofs)
+            self.tag = tag
+            self.count = (tag >> 2) & ((1 << 30) - 1)  # element count in tag
+            self.word_ofs = word_ofs + 1
+        else:
+            self.tag = 0
+            self.count = count
+            self.word_ofs = word_ofs
+
+    def __len__(self):
+        return self.count
+
+    def as_bytes(self) -> bytes:
+        if self.elem_size != 2:
+            raise CapnpError("not a byte list")
+        seg = self.segments[self.seg_id]
+        start = self.word_ofs * WORD
+        return bytes(seg[start : start + self.count])
+
+    def get_primitive(self, fmt: str, index: int):
+        size = {"I": 4, "Q": 8, "H": 2, "B": 1, "f": 4, "d": 8}[fmt]
+        seg = self.segments[self.seg_id]
+        return struct.unpack_from(
+            "<" + fmt, seg, self.word_ofs * WORD + index * size)[0]
+
+    def primitives(self, fmt: str) -> list:
+        size = {"I": 4, "Q": 8, "H": 2, "B": 1, "f": 4, "d": 8}[fmt]
+        seg = self.segments[self.seg_id]
+        start = self.word_ofs * WORD
+        return list(struct.unpack_from(
+            f"<{self.count}{fmt}", seg, start))
+
+    def get_struct(self, index: int) -> StructReader:
+        if self.elem_size == 7:
+            data_words = (self.tag >> 32) & 0xFFFF
+            ptr_words = (self.tag >> 48) & 0xFFFF
+            stride = data_words + ptr_words
+            return StructReader(self.segments, self.seg_id,
+                                self.word_ofs + index * stride, data_words,
+                                ptr_words, 0)
+        if self.elem_size == 6:  # list of pointers
+            obj = read_pointer(self.segments, self.seg_id,
+                               self.word_ofs + index)
+            if not isinstance(obj, StructReader):
+                raise CapnpError("expected struct element")
+            return obj
+        raise CapnpError("not a struct list")
+
+    def structs(self):
+        return [self.get_struct(i) for i in range(self.count)]
+
+
+# ---------------------------------------------------------------------------
+# Writer (single segment)
+# ---------------------------------------------------------------------------
+
+class MessageBuilder:
+    def __init__(self):
+        self.buf = bytearray(WORD)  # word 0 = root pointer
+
+    def nwords(self) -> int:
+        return len(self.buf) // WORD
+
+    def alloc(self, nwords: int) -> int:
+        ofs = self.nwords()
+        self.buf.extend(b"\x00" * (nwords * WORD))
+        return ofs
+
+    def _put_word(self, word_ofs: int, value: int) -> None:
+        struct.pack_into("<Q", self.buf, word_ofs * WORD, value)
+
+    def write_struct_ptr(self, ptr_ofs: int, target_ofs: int,
+                         data_words: int, ptr_words: int) -> None:
+        offset = target_ofs - (ptr_ofs + 1)
+        self._put_word(ptr_ofs, (offset & ((1 << 30) - 1)) << 2
+                       | (data_words << 32) | (ptr_words << 48))
+
+    def write_list_ptr(self, ptr_ofs: int, target_ofs: int, elem_size: int,
+                       count: int) -> None:
+        offset = target_ofs - (ptr_ofs + 1)
+        self._put_word(ptr_ofs, 1 | ((offset & ((1 << 30) - 1)) << 2)
+                       | (elem_size << 32) | (count << 35))
+
+    def new_struct(self, ptr_ofs: int, data_words: int,
+                   ptr_words: int) -> "StructBuilder":
+        target = self.alloc(data_words + ptr_words)
+        self.write_struct_ptr(ptr_ofs, target, data_words, ptr_words)
+        return StructBuilder(self, target, data_words, ptr_words)
+
+    def root_struct(self, data_words: int, ptr_words: int) -> "StructBuilder":
+        return self.new_struct(0, data_words, ptr_words)
+
+    def new_composite_list(self, ptr_ofs: int, count: int, data_words: int,
+                           ptr_words: int) -> List["StructBuilder"]:
+        stride = data_words + ptr_words
+        total = count * stride
+        target = self.alloc(1 + total)
+        # list pointer: element size 7, "count" = total words
+        self.write_list_ptr(ptr_ofs, target, 7, total)
+        # tag word: struct-ptr-shaped with element count in offset slot
+        self._put_word(target, ((count & ((1 << 30) - 1)) << 2)
+                       | (data_words << 32) | (ptr_words << 48))
+        return [StructBuilder(self, target + 1 + i * stride, data_words,
+                              ptr_words) for i in range(count)]
+
+    def write_bytes_list(self, ptr_ofs: int, data: bytes,
+                         nul_terminate: bool) -> None:
+        n = len(data) + (1 if nul_terminate else 0)
+        nwords = (n + WORD - 1) // WORD
+        target = self.alloc(nwords)
+        self.write_list_ptr(ptr_ofs, target, 2, n)
+        self.buf[target * WORD : target * WORD + len(data)] = data
+
+    def write_primitive_list(self, ptr_ofs: int, fmt: str, values) -> None:
+        size = {"I": 4, "Q": 8, "H": 2, "B": 1, "f": 4, "d": 8}[fmt]
+        elem_code = {1: 2, 2: 3, 4: 4, 8: 5}[size]
+        n = len(values)
+        nwords = (n * size + WORD - 1) // WORD
+        target = self.alloc(nwords)
+        self.write_list_ptr(ptr_ofs, target, elem_code, n)
+        struct.pack_into(f"<{n}{fmt}", self.buf, target * WORD, *values)
+
+    def to_bytes(self) -> bytes:
+        # single segment: header = [0 (count-1), size], already 8-byte aligned
+        header = struct.pack("<II", 0, self.nwords())
+        return header + bytes(self.buf)
+
+
+class StructBuilder:
+    __slots__ = ("msg", "word_ofs", "data_words", "ptr_words")
+
+    def __init__(self, msg: MessageBuilder, word_ofs: int, data_words: int,
+                 ptr_words: int):
+        self.msg = msg
+        self.word_ofs = word_ofs
+        self.data_words = data_words
+        self.ptr_words = ptr_words
+
+    def _data_byte(self, byte_ofs: int) -> int:
+        return self.word_ofs * WORD + byte_ofs
+
+    def set(self, fmt: str, index: int, value, mask: int = 0) -> None:
+        size = {"I": 4, "Q": 8, "H": 2, "B": 1, "f": 4, "d": 8}[fmt]
+        if fmt in ("f", "d"):
+            struct.pack_into("<" + fmt, self.msg.buf,
+                             self._data_byte(index * size), value)
+        else:
+            struct.pack_into("<" + fmt, self.msg.buf,
+                             self._data_byte(index * size), value ^ mask)
+
+    def set_bool(self, bit: int, value: bool) -> None:
+        byte = self._data_byte(bit // 8)
+        if value:
+            self.msg.buf[byte] |= 1 << (bit % 8)
+        else:
+            self.msg.buf[byte] &= ~(1 << (bit % 8))
+
+    def ptr_ofs(self, i: int) -> int:
+        return self.word_ofs + self.data_words + i
+
+    def set_text(self, i: int, s: str) -> None:
+        self.msg.write_bytes_list(self.ptr_ofs(i), s.encode("utf-8"), True)
+
+    def set_data(self, i: int, b: bytes) -> None:
+        self.msg.write_bytes_list(self.ptr_ofs(i), b, False)
+
+    def init_struct(self, i: int, data_words: int,
+                    ptr_words: int) -> "StructBuilder":
+        return self.msg.new_struct(self.ptr_ofs(i), data_words, ptr_words)
+
+    def init_composite_list(self, i: int, count: int, data_words: int,
+                            ptr_words: int):
+        return self.msg.new_composite_list(self.ptr_ofs(i), count, data_words,
+                                           ptr_words)
+
+    def set_primitive_list(self, i: int, fmt: str, values) -> None:
+        self.msg.write_primitive_list(self.ptr_ofs(i), fmt, values)

@@ -1,0 +1,147 @@
+""".bsk codec — finch's native binary multisketch (Cap'n Proto).
+
+Schema: /root/reference/lib/src/serialization/finch.capnp; writer/reader
+semantics: /root/reference/lib/src/serialization/mod.rs:123-224. Field
+offsets pinned against the capnpc-generated accessors in
+finch_capnp.rs (data/pointer indices noted inline).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from finch_tpu.core.sketch import KmerCount, Sketch
+from finch_tpu.models.params import FilterParams, SketchParams, U32_MAX
+from finch_tpu.serialization.capnp_lite import MessageBuilder, MessageReader
+
+# SketchMethod enum (finch.capnp:4-8)
+METHOD_MURMUR3 = 0
+METHOD_MURMUR3_SCALED = 1
+METHOD_NONE = 2
+
+# struct sizes (finch_capnp.rs STRUCT_SIZE constants)
+SZ_MULTISKETCH = (0, 1)
+SZ_SKETCH = (2, 5)
+SZ_KMERCOUNT = (2, 2)
+SZ_FILTERPARAMS = (4, 0)
+SZ_SKETCHPARAMS = (5, 0)
+
+
+def _set_sketch_params(b, params: SketchParams) -> None:
+    """mod.rs:67-100; offsets per finch_capnp.rs:253-282."""
+    if params.sketch_type == "mash":
+        b.set("H", 0, METHOD_MURMUR3)
+        b.set("B", 2, params.kmer_length)
+        b.set("Q", 1, params.kmers_to_sketch)
+        b.set("Q", 2, params.hash_seed)
+        b.set("Q", 3, params.final_size)
+        b.set_bool(24, params.no_strict)
+    elif params.sketch_type == "scaled":
+        b.set("H", 0, METHOD_MURMUR3_SCALED)
+        b.set("B", 2, params.kmer_length)
+        b.set("Q", 1, params.kmers_to_sketch)
+        b.set("Q", 2, params.hash_seed)
+        b.set("d", 4, params.scale)
+    else:
+        b.set("H", 0, METHOD_NONE)
+        b.set("B", 2, params.kmer_length)
+
+
+def _get_sketch_params(r) -> SketchParams:
+    """mod.rs:102-121."""
+    method = r.get_u16(0)
+    k = r.get_u8(2)
+    if method == METHOD_MURMUR3:
+        return SketchParams.mash(
+            kmers_to_sketch=r.get_u64(1), final_size=r.get_u64(3),
+            no_strict=r.get_bool(24), kmer_length=k, hash_seed=r.get_u64(2))
+    if method == METHOD_MURMUR3_SCALED:
+        return SketchParams.scaled(
+            kmers_to_sketch=r.get_u64(1), kmer_length=k, scale=r.get_f64(4),
+            hash_seed=r.get_u64(2))
+    if method == METHOD_NONE:
+        return SketchParams.all_counts(kmer_length=k)
+    raise ValueError(f"unknown sketch method {method}")
+
+
+def write_finch_file(sketches: List[Sketch]) -> bytes:
+    """mod.rs:123-166."""
+    msg = MessageBuilder()
+    root = msg.root_struct(*SZ_MULTISKETCH)
+    cap_sketches = root.init_composite_list(0, len(sketches), *SZ_SKETCH)
+    for sketch, b in zip(sketches, cap_sketches):
+        b.set_text(0, sketch.name)
+        b.set("Q", 0, sketch.seq_length)
+        b.set("Q", 1, sketch.num_valid_kmers)
+        b.set_text(1, sketch.comment)
+
+        hashes = b.init_composite_list(2, len(sketch.hashes), *SZ_KMERCOUNT)
+        for kc, hb in zip(sketch.hashes, hashes):
+            hb.set("Q", 0, kc.hash)
+            hb.set_data(0, kc.kmer)
+            hb.set("I", 2, kc.count)
+            hb.set("I", 3, kc.extra_count)
+            if kc.label is not None:
+                hb.set_data(1, kc.label)
+
+        fp = sketch.filter_params
+        fb = b.init_struct(3, *SZ_FILTERPARAMS)
+        fb.set_bool(0, fp.filter_on or False)
+        fb.set("I", 1, fp.abun_filter[0] or 0)
+        fb.set("I", 2, fp.abun_filter[1] if fp.abun_filter[1] is not None
+               else U32_MAX)
+        fb.set("d", 2, fp.err_filter)
+        fb.set("d", 3, fp.strand_filter)
+
+        _set_sketch_params(b.init_struct(4, *SZ_SKETCHPARAMS),
+                           sketch.sketch_params)
+    return msg.to_bytes()
+
+
+def read_finch_file(data: bytes) -> List[Sketch]:
+    """mod.rs:168-224 (traversal limit 1Gi words, low_abun 0 -> None,
+    high_abun u32::MAX -> None)."""
+    root = MessageReader(data, traversal_limit_words=1 << 30).root()
+    cap_sketches = root.get_ptr(0)
+    sketches: List[Sketch] = []
+    if cap_sketches is None:
+        return sketches
+    for cs in cap_sketches.structs():
+        hashes = []
+        hl = cs.get_ptr(2)
+        if hl is not None:
+            for ch in hl.structs():
+                label = ch.get_data(1)
+                hashes.append(KmerCount(
+                    hash=ch.get_u64(0),
+                    kmer=ch.get_data(0) or b"",
+                    count=ch.get_u32(2),
+                    extra_count=ch.get_u32(3),
+                    label=label if label else None,
+                ))
+        sp = cs.get_ptr(4)
+        sketch_params = (_get_sketch_params(sp) if sp is not None
+                         else SketchParams.mash())
+        fpr = cs.get_ptr(3)
+        if fpr is not None:
+            low = fpr.get_u32(1)
+            high = fpr.get_u32(2)
+            filter_params = FilterParams(
+                filter_on=fpr.get_bool(0),
+                abun_filter=(None if low == 0 else low,
+                             None if high == U32_MAX else high),
+                err_filter=fpr.get_f64(2),
+                strand_filter=fpr.get_f64(3),
+            )
+        else:
+            filter_params = FilterParams()
+        sketches.append(Sketch(
+            name=cs.get_text(0) or "",
+            seq_length=cs.get_u64(0),
+            num_valid_kmers=cs.get_u64(1),
+            comment=cs.get_text(1) or "",
+            hashes=hashes,
+            sketch_params=sketch_params,
+            filter_params=filter_params,
+        ))
+    return sketches

@@ -1,0 +1,147 @@
+"""Python API surface (mirrors python.rs behaviors)."""
+
+import numpy as np
+import pytest
+
+import finch_tpu.api as finch
+from finch_tpu.core.sketch import KmerCount, Sketch as CoreSketch
+from finch_tpu.models.params import FilterParams, SketchParams
+
+
+def mk(name, hashes, params=None, counts=None):
+    params = params or SketchParams.mash(kmers_to_sketch=1000,
+                                         final_size=1000, no_strict=True)
+    kcs = [KmerCount(hash=h, kmer=b"A", count=(counts[i] if counts else 1),
+                     extra_count=0) for i, h in enumerate(hashes)]
+    core = CoreSketch(name=name, seq_length=10, num_valid_kmers=5,
+                      comment="", hashes=kcs, filter_params=FilterParams(),
+                      sketch_params=params)
+    return finch.Sketch("", _core=core)
+
+
+def test_sketch_file(query_fa_path):
+    # filter=True with the hardwired absolute err_filter=1.0 (python.rs:670)
+    # derives min-count 2 over the 10-hash sketch -> only the two count-2
+    # kmers survive (the python API has no oversketch, python.rs:662-668)
+    s = finch.sketch_file(query_fa_path, n_hashes=10, no_strict=True)
+    assert len(s) == 2
+    assert all(h[2] >= 2 for h in s.hashes)
+
+    s = finch.sketch_file(query_fa_path, n_hashes=10, no_strict=True,
+                          filter=False)
+    assert len(s) == 10
+    assert s.hashes[0][1] == b"ATGCTAGCTACGTAACGTCGC"
+    assert s.sketch_params["kmer_length"] == 21
+    assert s.name == query_fa_path
+
+
+def test_merge_sum_counts():
+    a = mk("a", [1, 3, 5])
+    b = mk("b", [1, 4, 5])
+    a.merge(b)
+    assert [h[0] for h in a.hashes] == [1, 3, 4, 5]
+    assert [h[2] for h in a.hashes] == [2, 1, 1, 2]
+    assert a.seq_length == 20
+    assert a.num_valid_kmers == 10
+
+
+def test_merge_size_clip():
+    a = mk("a", [1, 3, 5])
+    b = mk("b", [2, 4, 6])
+    a.merge(b, size=3)
+    assert [h[0] for h in a.hashes] == [1, 2, 3]
+
+
+def test_merge_incompatible():
+    a = mk("a", [1])
+    b = mk("b", [1], params=SketchParams.mash(kmer_length=31, no_strict=True))
+    with pytest.raises(finch.FinchError, match="k 21"):
+        a.merge(b)
+
+
+def test_merge_scaled_clip():
+    p = SketchParams.scaled(kmers_to_sketch=2, kmer_length=21, scale=1e-18)
+    # max_hash = 18
+    a = mk("a", [5, 10, 20, 30], params=p)
+    b = mk("b", [6, 25], params=p)
+    a.merge(b)  # size None + scale -> truncate to hash <= 18
+    assert [h[0] for h in a.hashes] == [5, 6, 10]
+    a2 = mk("a", [5, 10, 20, 30], params=p)
+    a2.merge(mk("b", [6, 25], params=p), size=4)
+    # take_while(hash <= max || ix < size)
+    assert [h[0] for h in a2.hashes] == [5, 6, 10, 20]
+
+
+def test_multisketch_container(tmp_path, query_fa_path):
+    s1 = finch.sketch_file(query_fa_path, n_hashes=10, no_strict=True)
+    ms = finch.Multisketch.from_sketches([s1])
+    assert len(ms) == 1
+    assert repr(ms) == "<Multisketch (1 sketch)>"
+    assert query_fa_path in ms
+    assert ms[0].name == query_fa_path
+    assert ms[query_fa_path].name == query_fa_path
+    ms.save(str(tmp_path / "m.bsk"))
+    ms2 = finch.Multisketch.open(str(tmp_path / "m.bsk"))
+    assert len(ms2) == 1
+    assert ms2[0].hashes == s1.hashes
+    del ms2[0]
+    assert len(ms2) == 0
+    with pytest.raises(KeyError):
+        ms._index("nope")
+
+
+def test_best_match_and_filter():
+    db = finch.Multisketch.from_sketches(
+        [mk("x", [1, 2, 3, 4]), mk("y", [1, 2, 5, 6]), mk("z", [7, 8])])
+    q = mk("q", [1, 2, 5])
+    ix, best = db.best_match(q)
+    assert (ix, best.name) == (1, "y")
+    db.filter_to_matches(q, threshold=0.5)
+    assert [s.name for s in db.sketches] == ["x", "y"]
+    db.filter_to_names(["y"])
+    assert [s.name for s in db.sketches] == ["y"]
+
+
+def test_compare():
+    a = mk("a", [1, 2, 3])
+    b = mk("b", [2, 3, 4])
+    # raw_distance caps both sides at min(max_a, max_b)=3: i=2, j=3
+    cont, jac = a.compare(b)
+    assert jac == 2 / 3
+    assert cont == 2 / 3
+
+
+def test_compare_counts():
+    ref = mk("r", [1, 2, 3], counts=[5, 6, 7])
+    q = mk("q", [2, 3, 9], counts=[2, 4, 100])
+    common, ref_pos, q_pos, ref_count, q_count, var, skew, kurt = \
+        ref.compare_counts(q)
+    assert common == 2
+    assert ref_count == 6 + 7
+    assert q_count == 2 + 4
+    assert var == pytest.approx(1.0)  # counts 2,4 -> m2=2, var=1
+
+
+def test_compare_matrix():
+    ref = mk("r", [1, 2, 3])
+    q1 = mk("q1", [2, 3], counts=[5, 9])
+    mat = ref.compare_matrix(q1)
+    np.testing.assert_array_equal(mat, [[0, 5, 9]])
+
+
+def test_counts_setter_drops_zeros():
+    s = mk("s", [1, 2, 3])
+    s.counts = [5, 0, 7]
+    assert [h[0] for h in s.hashes] == [1, 3]
+    assert [h[2] for h in s.hashes] == [5, 7]
+    with pytest.raises(finch.FinchError, match="Negative"):
+        s.counts = [1, -2]
+    with pytest.raises(finch.FinchError, match="same length"):
+        s.counts = [1]
+
+
+def test_copy_independent():
+    s = mk("s", [1, 2])
+    c = s.copy()
+    c.name = "other"
+    assert s.name == "s"

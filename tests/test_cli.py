@@ -1,0 +1,206 @@
+"""Black-box CLI conformance (mirrors /root/reference/cli/tests/test_cli.rs)."""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+QUERY_FA = "/root/reference/cli/tests/data/query.fa"
+
+GOLDEN_KMERS = [
+    "ATGCTAGCTACGTAACGTCGC", "CAGTCGATCGATCGTAGCTGA",
+    "CTCAGATGCTGAGCCGGTCTA", "GCTAGCTAGCATCGCTAGCTA",
+    "GACTAGCTAGCTAGCTAGCGA", "CGCTAGCTACGATCGATCGAC",
+    "TAATTTATACGGGCCTATTAA", "GCATCAGCTAGCATCGCTGTA",
+    "AGCCGGTCTACTACTACACAT", "AAGGCCTAACTTAATAGGCCC",
+]
+
+
+def finch(*args, check=True):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["FINCH_TPU_PLATFORM"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, "-m", "finch_tpu.cli", *args],
+        capture_output=True, env=env)
+    if check and proc.returncode != 0:
+        raise AssertionError(
+            f"finch {' '.join(args)} failed: {proc.stderr.decode()}")
+    return proc
+
+
+def test_file_doesnt_exist():
+    """test_cli.rs:10-18."""
+    proc = finch("sketch", "test/file/doesnt/exist", check=False)
+    assert proc.returncode != 0
+    assert "No such file or directory" in proc.stderr.decode()
+
+
+def test_finch_sketch_stdout():
+    """test_cli.rs:21-37."""
+    proc = finch("sketch", "--n-hashes", "10", "-O", QUERY_FA)
+    doc = json.loads(proc.stdout)
+    assert doc["kmer"] == 21
+    assert doc["alphabet"] == "ACGT"
+    assert doc["sketchSize"] == 10
+    assert doc["hashSeed"] == 0
+
+
+def test_finch_sketch_bin_roundtrip(tmp_path):
+    """test_cli.rs:40-57 (via -o file instead of stdout)."""
+    out = tmp_path / "out"
+    finch("sketch", "--n-hashes", "10", "-b", "-o", str(out), QUERY_FA)
+    from finch_tpu.serialization.finch_bsk import read_finch_file
+    data = (tmp_path / "out.bsk").read_bytes()
+    sk = read_finch_file(data)
+    assert len(sk) == 1
+    assert sk[0].sketch_params.k == 21
+    assert sk[0].sketch_params.expected_size() == 10
+    assert len(sk[0].hashes) == 10
+
+
+def test_finch_sketch_msh_roundtrip(tmp_path):
+    """test_cli.rs:60-78."""
+    out = tmp_path / "out"
+    finch("sketch", "--n-hashes", "10", "-B", "-o", str(out), QUERY_FA)
+    from finch_tpu.serialization.mash_msh import read_mash_file
+    sk = read_mash_file((tmp_path / "out.msh").read_bytes())
+    assert len(sk) == 1
+    assert sk[0].sketch_params.k == 21
+    assert len(sk[0].hashes) == 10
+
+
+def test_finch_sketch_scaled_golden():
+    """test_cli.rs:81-114."""
+    proc = finch("sketch", "--n-hashes", "10", "--sketch-type", "scaled",
+                 "--scale", ".001", QUERY_FA, "-O")
+    doc = json.loads(proc.stdout)
+    assert doc["kmer"] == 21
+    assert doc["alphabet"] == "ACGT"
+    assert doc["sketchSize"] == 10
+    assert doc["sketches"][0]["kmers"] == GOLDEN_KMERS
+    assert doc["hashSeed"] == 0
+
+
+def test_finch_sketch_mash_golden():
+    """test_cli.rs:117-149."""
+    proc = finch("sketch", "--n-hashes", "10", "--sketch-type", "mash",
+                 QUERY_FA, "-O")
+    doc = json.loads(proc.stdout)
+    assert doc["sketches"][0]["kmers"] == GOLDEN_KMERS
+
+
+def test_sketch_in_place(tmp_path):
+    """main.rs:201-235: sketch without -o/-O writes <input>.sk."""
+    fa = tmp_path / "q.fa"
+    shutil.copy(QUERY_FA, fa)
+    finch("sketch", "--n-hashes", "10", str(fa))
+    out = tmp_path / "q.fa.sk"
+    assert out.exists()
+    doc = json.loads(out.read_bytes())
+    assert doc["sketchSize"] == 10
+    # sketch files are rejected as sketch-in-place input
+    proc = finch("sketch", str(out), check=False)
+    assert proc.returncode != 0
+    assert "is not a sequence file?" in proc.stderr.decode()
+
+
+def test_dist_json(tmp_path):
+    """dist between a sketch file and a FASTA, JSON output shape."""
+    fa = tmp_path / "q.fa"
+    shutil.copy(QUERY_FA, fa)
+    finch("sketch", "--n-hashes", "10", str(fa))
+    proc = finch("dist", str(tmp_path / "q.fa.sk"), QUERY_FA)
+    dists = json.loads(proc.stdout)
+    assert len(dists) == 1
+    d = dists[0]
+    assert list(d.keys()) == ["containment", "jaccard", "mashDistance",
+                              "commonHashes", "totalHashes", "query",
+                              "reference"]
+    assert d["jaccard"] == 1.0
+    assert d["mashDistance"] == 0.0
+    assert d["commonHashes"] == 10
+    # query name = the name recorded at sketch time (the original path)
+    assert d["query"] == str(fa)
+    assert d["reference"] == QUERY_FA
+
+
+def test_dist_max_dist_filters(tmp_path):
+    fa2 = tmp_path / "other.fa"
+    fa2.write_bytes(b">o\n" + b"TTAGGCCATCAGGACCA" * 10 + b"\n")
+    proc = finch("dist", "--n-hashes", "10", "-N", QUERY_FA, str(fa2),
+                 "--max-dist", "0.5")
+    dists = json.loads(proc.stdout)
+    assert dists == []  # unrelated sequences exceed max-dist
+
+
+def test_dist_pairwise_and_queries(tmp_path):
+    fa2 = tmp_path / "other.fa"
+    fa2.write_bytes(b">o\n" + b"TTAGGCCATCAGGACCA" * 10 + b"\n")
+    proc = finch("dist", "-p", "--n-hashes", "10", "-N", QUERY_FA, str(fa2))
+    dists = json.loads(proc.stdout)
+    assert len(dists) == 2  # both directions, self-pairs skipped
+    proc = finch("dist", "-q", str(fa2), "--n-hashes", "10", "-N", QUERY_FA,
+                 str(fa2))
+    dists = json.loads(proc.stdout)
+    assert len(dists) == 1
+    assert dists[0]["query"] == str(fa2)
+
+
+def test_hist_json():
+    proc = finch("hist", "--n-hashes", "10", QUERY_FA)
+    doc = json.loads(proc.stdout)
+    assert QUERY_FA in doc
+    assert doc[QUERY_FA] == [8, 2]  # 8 kmers at depth 1, 2 at depth 2
+
+
+def test_info_text():
+    proc = finch("info", "--n-hashes", "10", QUERY_FA)
+    out = proc.stdout.decode()
+    assert out.startswith(QUERY_FA + " (from 405bp)")
+    assert "Estimated # of Unique Kmers:" in out
+    assert "Estimated Average Depth:" in out
+    assert "Estimated % GC:" in out
+
+
+def test_err_filter_limit():
+    """cli.rs:264-265: err-filter limited to 100/k."""
+    proc = finch("sketch", "--err-filter", "10", "-k", "21", "-O", QUERY_FA,
+                 check=False)
+    assert proc.returncode != 0
+    assert "between 0 and" in proc.stderr.decode()
+
+
+def test_conflicting_flags():
+    proc = finch("sketch", "--sketch-type", "mash", "--scale", "0.1", "-O",
+                 QUERY_FA, check=False)
+    assert proc.returncode != 0
+    assert "can not be specified for `mash`" in proc.stderr.decode()
+    proc = finch("sketch", "--sketch-type", "scaled", "--oversketch", "10",
+                 "-O", QUERY_FA, check=False)
+    assert proc.returncode != 0
+    proc = finch("sketch", "--filter", "--no-filter", "-O", QUERY_FA,
+                 check=False)
+    assert proc.returncode != 0
+
+
+def test_param_inheritance_from_sketch_file(tmp_path):
+    """main.rs:336-441: unset CLI args inherit from the first sketch file."""
+    fa = tmp_path / "q.fa"
+    shutil.copy(QUERY_FA, fa)
+    finch("sketch", "--n-hashes", "7", "--seed", "5", str(fa))
+    # dist with no explicit n/seed inherits 7/5 and sketches the FASTA
+    # with the same params -> identical sketches
+    proc = finch("dist", str(tmp_path / "q.fa.sk"), QUERY_FA)
+    dists = json.loads(proc.stdout)
+    assert dists[0]["commonHashes"] == 7
+    assert dists[0]["jaccard"] == 1.0
+    # mismatched explicit seed errors
+    proc = finch("dist", "--seed", "9", str(tmp_path / "q.fa.sk"), QUERY_FA,
+                 check=False)
+    assert proc.returncode != 0
+    assert "does not match" in proc.stderr.decode()
