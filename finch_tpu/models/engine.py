@@ -145,7 +145,7 @@ class JaxEngine:
         if params.sketch_type == "mash":
             self.capacity = max(1, self.size)
         else:
-            self.capacity = max(2 * self.size, 1 << 16)
+            self.capacity = max(2 * self.size, 1 << 12)
         self.state = bottomk.empty_state(self.capacity)
         self._mh = (jnp.uint64(self.max_hash) if self.max_hash is not None
                     else jnp.uint64(0))

@@ -1,0 +1,170 @@
+"""Data-parallel sketching over a device mesh.
+
+One logical k-mer stream is split across devices; each device folds its
+shard into a local bottom-k state (ops/bottomk.py); states merge exactly at
+finalization via all-gather + dedup (counts add on equal hashes — the
+batch-equivalence theorem makes this bit-identical to a single stream).
+
+This is the TPU replacement for the reference's single-threaded per-file
+loop (/root/reference/lib/src/lib.rs:51-94), scaled over ICI with XLA
+collectives under shard_map.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from finch_tpu.models.params import SketchParams
+from finch_tpu.ops import bottomk
+from finch_tpu.ops.bottomk import U64_MAX
+
+
+@partial(jax.jit, static_argnames=("k", "seed", "has_max_hash", "mesh",
+                                   "axis"))
+def _sharded_step(state, batch_packed, batch_rc, nvalid, max_hash,
+                  *, k, seed, has_max_hash, mesh, axis):
+    """state: (n, C) arrays sharded on axis 0; batch: (n, B) sharded on
+    axis 0; nvalid: (n,) per-shard valid counts."""
+
+    def body(st, pk, rc, nv, mh):
+        st = jax.tree.map(lambda x: x[0], st)
+        new_state, below = bottomk.sketch_step(
+            st, pk[0], rc[0], nv[0], mh,
+            k=k, seed=seed, has_max_hash=has_max_hash)
+        below = jax.lax.psum(below, axis)
+        return (jax.tree.map(lambda x: x[None], new_state), below[None])
+
+    spec = P(axis)
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(
+            (spec, spec, spec, spec), spec, spec, spec, P()),
+        out_specs=((spec, spec, spec, spec), spec),
+    )(state, batch_packed, batch_rc, nvalid, max_hash)
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis"))
+def _sharded_finalize(state, *, mesh, axis):
+    """All-gather per-device states and merge into one exact bottom-k."""
+
+    def body(st):
+        full = jax.tree.map(
+            lambda x: jax.lax.all_gather(x[0], axis, axis=0), st)
+        n = full[0].shape[0]
+        states = [jax.tree.map(lambda x: x[i], full) for i in range(n)]
+        merged = bottomk.merge_states(states)
+        return jax.tree.map(lambda x: x[None], merged)
+
+    spec = P(axis)
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=((spec, spec, spec, spec),),
+        out_specs=(P(axis), P(axis), P(axis), P(axis)),
+    )(state)
+
+
+class ShardedSketchEngine:
+    """Mesh-parallel analog of models.engine.JaxEngine.
+
+    Bit-identical to the single-device engine: the per-device prefilter uses
+    each shard's local threshold (a superset of admissions), and the final
+    all-gather merge recovers the exact global bottom-k with exact counts.
+    """
+
+    def __init__(self, params: SketchParams, mesh: Mesh,
+                 axis: str = "data", batch_size_per_device: int = 1 << 20):
+        self.params = params
+        self.mesh = mesh
+        self.axis = axis
+        self.n = mesh.devices.size
+        self.size = params.kmers_to_sketch
+        self.max_hash = params.max_hash()
+        self.bpd = batch_size_per_device
+        if params.sketch_type == "mash":
+            self.capacity = max(1, self.size)
+        else:
+            self.capacity = max(2 * self.size, 1 << 12)
+        self._sharding = NamedSharding(mesh, P(axis))
+        self.state = self._empty_state(self.capacity)
+        self._mh = (jnp.uint64(self.max_hash) if self.max_hash is not None
+                    else jnp.uint64(0))
+
+    def _empty_state(self, capacity):
+        n = self.n
+        mk = lambda fill, dt: jax.device_put(
+            np.full((n, capacity), fill, dtype=dt), self._sharding)
+        return (mk(np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64),
+                mk(0, np.uint64), mk(0, np.uint64), mk(0, np.uint64))
+
+    def update(self, packed: np.ndarray, rc: np.ndarray) -> None:
+        total = len(packed)
+        per_dev_cap = self.n * self.bpd
+        for off in range(0, max(total, 1), per_dev_cap):
+            chunk_pk = packed[off: off + per_dev_cap]
+            chunk_rc = rc[off: off + per_dev_cap]
+            if len(chunk_pk) == 0 and off > 0:
+                break
+            self._step(chunk_pk, chunk_rc)
+            if len(chunk_pk) < per_dev_cap:
+                break
+
+    def _bucket(self, per_shard: int) -> int:
+        b = 1024
+        while b < per_shard:
+            b <<= 1
+        return b
+
+    def _step(self, pk: np.ndarray, rc: np.ndarray) -> None:
+        n = self.n
+        total = len(pk)
+        per_shard = self._bucket((total + n - 1) // n)
+        pk_pad = np.zeros((n, per_shard), dtype=np.uint64)
+        rc_pad = np.zeros((n, per_shard), dtype=np.uint8)
+        nvalid = np.zeros((n,), dtype=np.uint32)
+        for i in range(n):
+            sl = slice(i * per_shard, min((i + 1) * per_shard, total))
+            cnt = max(0, sl.stop - sl.start)
+            if cnt:
+                pk_pad[i, :cnt] = pk[sl]
+                rc_pad[i, :cnt] = rc[sl]
+            nvalid[i] = cnt
+        pk_d = jax.device_put(pk_pad, self._sharding)
+        rc_d = jax.device_put(rc_pad, self._sharding)
+        nv_d = jax.device_put(nvalid, self._sharding)
+        is_scaled = self.params.sketch_type == "scaled"
+        while True:
+            new_state, below = _sharded_step(
+                self.state, pk_d, rc_d, nv_d, self._mh,
+                k=self.params.k, seed=self.params.hash_seed,
+                has_max_hash=is_scaled, mesh=self.mesh, axis=self.axis)
+            if not is_scaled:
+                self.state = new_state
+                return
+            below_total = int(np.asarray(below)[0])
+            if below_total + self.size <= self.capacity:
+                self.state = new_state
+                return
+            new_cap = max(self.capacity * 2, below_total + self.size)
+            old = self.state
+            tmpl = self._empty_state(new_cap)
+            self.state = tuple(
+                jax.device_put(np.concatenate(
+                    [np.asarray(o), np.asarray(t)[:, self.capacity:]],
+                    axis=1), self._sharding)
+                for o, t in zip(old, tmpl))
+            self.capacity = new_cap
+
+    def finalize(self):
+        from finch_tpu.models.engine import _finalize
+
+        merged = _sharded_finalize(self.state, mesh=self.mesh,
+                                   axis=self.axis)
+        # every shard row holds the same merged result; take row 0
+        h, c, e, pkk = (np.asarray(x)[0] for x in merged)
+        return _finalize(self.params, h, c, e, pkk)

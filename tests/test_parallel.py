@@ -1,0 +1,87 @@
+"""Multi-device sharding: sharded sketch == single-device sketch; sharded
+distance == host distance. Runs on the 8-virtual-CPU mesh from conftest."""
+
+import random
+
+import numpy as np
+import pytest
+
+from finch_tpu import FilterParams, SketchParams
+from finch_tpu.core.distance import raw_distance_arrays
+from finch_tpu.core.sketching import sketch_bytes
+from finch_tpu.models.engine import NumpyEngine, _finalize
+from finch_tpu.native import KmerReader
+from finch_tpu.parallel import ShardedSketchEngine, all_vs_all_arrays, make_mesh
+
+
+def _random_fasta(seed, nrec=4, lo=50, hi=800):
+    rnd = random.Random(seed)
+    seqs = ["".join(rnd.choice("ACGTN") for _ in range(rnd.randint(lo, hi)))
+            for _ in range(nrec)]
+    return "".join(f">r{i}\n{s}\n" for i, s in enumerate(seqs)).encode()
+
+
+@pytest.mark.parametrize("scheme", ["mash", "scaled"])
+def test_sharded_sketch_matches_single(scheme):
+    fa = _random_fasta(99, nrec=6)
+    if scheme == "mash":
+        params = SketchParams.mash(kmers_to_sketch=50, final_size=50,
+                                   no_strict=True, kmer_length=11)
+    else:
+        params = SketchParams.scaled(kmers_to_sketch=10, kmer_length=11,
+                                     scale=0.05)
+    expected = sketch_bytes(fa, "t", params, FilterParams(filter_on=False),
+                            backend="numpy")
+
+    mesh = make_mesh(8)
+    eng = ShardedSketchEngine(params, mesh, batch_size_per_device=512)
+    reader = KmerReader(fa, k=params.k, batch_size=3000)
+    for packed, rc in reader:
+        eng.update(packed, rc)
+    got = eng.finalize()
+    exp = expected.hashes
+    got_t = [(k.hash, k.kmer, k.count, k.extra_count) for k in got]
+    exp_t = [(k.hash, k.kmer, k.count, k.extra_count) for k in exp]
+    assert got_t == exp_t
+
+
+def test_sharded_scaled_capacity_growth():
+    # tiny initial capacity forces growth while staying exact
+    fa = _random_fasta(7, nrec=3, lo=300, hi=900)
+    params = SketchParams.scaled(kmers_to_sketch=4, kmer_length=7, scale=0.5)
+    expected = sketch_bytes(fa, "t", params, FilterParams(filter_on=False),
+                            backend="numpy")
+    mesh = make_mesh(4)
+    eng = ShardedSketchEngine(params, mesh, batch_size_per_device=256)
+    eng.capacity = 16
+    eng.state = eng._empty_state(16)
+    reader = KmerReader(fa, k=7, batch_size=1500)
+    for packed, rc in reader:
+        eng.update(packed, rc)
+    got = [(k.hash, k.count) for k in eng.finalize()]
+    exp = [(k.hash, k.count) for k in expected.hashes]
+    assert got == exp
+
+
+def test_all_vs_all_matches_host():
+    rnd = np.random.default_rng(5)
+    mesh = make_mesh(8)
+    queries = [np.sort(rnd.choice(2**40, size=rnd.integers(0, 30),
+                                  replace=False).astype(np.uint64))
+               for _ in range(5)]
+    refs = [np.sort(rnd.choice(2**40, size=rnd.integers(0, 30),
+                               replace=False).astype(np.uint64))
+            for _ in range(8)]
+    # inject overlap
+    refs[0] = queries[0].copy()
+    for scale in (0.0, 1e-10):
+        common, i, j = all_vs_all_arrays(queries, refs, scale=scale,
+                                         mesh=mesh)
+        for qi, q in enumerate(queries):
+            for ri, r in enumerate(refs):
+                cont, jac, c, total = raw_distance_arrays(q, r, scale)
+                assert int(common[qi, ri]) == c
+                got_total = int(i[qi, ri]) - int(common[qi, ri]) + int(j[qi, ri])
+                assert got_total == total, (qi, ri, scale)
+                gj = int(j[qi, ri])
+                assert (0.0 if gj == 0 else int(common[qi, ri]) / gj) == cont
