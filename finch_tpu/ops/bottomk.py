@@ -10,17 +10,29 @@ reverse-complement occurrences. The scaled variant (scaled.rs:37-61) is
 hashes to `size` total".
 
 TPU mapping (chosen from measured primitive costs on v5e):
-  * NO scatter / segment_* / cumsum ops — all pathological on TPU.
+  * NO scatter / segment_* ops — pathological on TPU.
   * dedup of sorted runs = log-shift segmented scans (Hillis-Steele).
   * admission prefilter: batch hashes above the current Kth-smallest can
     never enter the final sketch, and all occurrences of surviving hashes
     pass the filter, so counts stay exact.
-  * fast path: survivors are extracted with a per-group partial top-k
-    (grouped by hi-32 bits; valid whenever every group has <= GROUP_CAP
-    survivors and the threshold is warm), giving a small candidate set to
-    sort. A lax.cond falls back to the exact full-sort path in-dispatch when
-    the fast-path preconditions fail (cold state, survivor bursts), so the
-    result is always exact with no host round-trip.
+  * survivor extraction = row-sort + column paging (no gathers, no cumsum,
+    no scatter — all measured pathological or RPC-bound on v5e). The batch
+    is reshaped to (rows, G) lanes of a composite key
+    (packed_kmer << 1 | is_rc) + 1, with pre-filtered lanes set to
+    u64::MAX; each row is sorted independently (a (B/G, G) row-sort costs
+    about one HBM-tile pass — measured cheaper than a same-size top_k),
+    putting every row's survivors in its leading columns. A lax.while_loop
+    then merges fixed-width column pages [p*C, (p+1)*C) — static-stride
+    dynamic slices — into the state until the leading column of the next
+    page is entirely MAX (all rows exhausted). Hashes are recomputed from
+    the composite payload per page, so the full-batch hash fuses into the
+    keep-mask pass and is never materialized.
+    One code path handles cold start, survivor bursts, duplicate-heavy
+    batches (duplicates sort adjacent and the merge dedups them into
+    counts) and the warm steady state — exactly, with no fallback branch:
+    page-wise merging is exact because a hash truncated from the state can
+    never re-enter (the state is always full of smaller hashes from then
+    on), so its later occurrences are pre-filtered out.
 
 State layout (all u64, fixed capacity C, sorted ascending by hash):
     hashes[C] — u64::MAX in empty slots
@@ -41,8 +53,8 @@ from finch_tpu.ops.murmur3 import hash_packed_kmers
 
 U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
-GROUP = 4096      # batch elements per extraction group
-GROUP_CAP = 128   # max survivors extracted per group on the fast path
+ROW = 4096        # lanes per row-sort row
+PAGE = 128        # columns merged per while_loop page
 
 
 def empty_state(capacity: int):
@@ -120,66 +132,69 @@ def sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
                 *, k: int, seed: int, has_max_hash: bool):
     """Fold one batch of packed canonical k-mers into the sketch state.
 
-    Exact for any input; internally picks the fast extraction path when the
-    state is warm and survivor density is low. Returns
-    (new_state, below_count) — below_count is the number of distinct hashes
-    <= max_hash in the new state (scaled capacity-growth signal; the count
-    is exact unless the state overflowed, which the driver prevents).
+    Exact for any input (cold state, survivor bursts, duplicates) via
+    row-sort + column-page extraction — see the module docstring. Returns
+    (new_state, below_count) — below_count is the max, over chunk merges,
+    of the number of distinct hashes <= max_hash in the pre-truncation
+    merged view (scaled capacity-growth signal: any truncation loss forces
+    below_count > capacity, so the driver's grow-and-redo rail always
+    fires before data is lost).
     """
     sh, sc, se, spk = state
-    cap = sh.shape[0]
     b = batch_packed.shape[0]
+    g = min(ROW, b)
+    rows = b // g
+    page = min(PAGE, g)
+    npages = g // page
 
+    # Fused pass: hash + prefilter + composite key. XLA fuses the hash into
+    # the row-sort input, so the hash lanes are never materialized.
     h = hash_packed_kmers(batch_packed, k=k, seed=seed)
-
     valid = jnp.arange(b, dtype=jnp.uint32) < nvalid.astype(jnp.uint32)
     thresh = sh[-1]
     if has_max_hash:
         thresh = jnp.maximum(thresh, max_hash.astype(jnp.uint64))
     keep = valid & (h <= thresh)
-    hm = jnp.where(keep, h, U64_MAX)
-    w = keep.astype(jnp.uint64)
-    e = batch_rc.astype(jnp.uint64) * w
-    pk = jnp.where(keep, batch_packed.astype(jnp.uint64), U64_MAX)
+    comp = jnp.where(
+        keep,
+        ((batch_packed.astype(jnp.uint64) << jnp.uint64(1))
+         | batch_rc.astype(jnp.uint64)) + jnp.uint64(1),
+        U64_MAX)
+    comp = jax.lax.sort(comp.reshape(rows, g), dimension=1)
+    mh_arg = (max_hash.astype(jnp.uint64) if has_max_hash
+              else jnp.uint64(0))
 
-    use_fast = b >= 2 * GROUP and b % GROUP == 0
-    if use_fast:
-        ngroups = b // GROUP
-        keep_g = keep.reshape(ngroups, GROUP)
-        per_group = jnp.sum(keep_g.astype(jnp.uint32), axis=1)
-        # fast path valid iff no group overflows its extraction quota and
-        # the threshold is warm (hi-32 strictly below the masked sentinel)
-        fast_ok = (jnp.max(per_group) <= GROUP_CAP) & (
-            (thresh >> jnp.uint64(32)) < jnp.uint64(0xFFFFFFFF))
+    def body(carry):
+        st, below, p = carry
+        vals = jax.lax.dynamic_slice(
+            comp, (jnp.int32(0), p * page), (rows, page)).ravel()
+        slot_ok = vals != U64_MAX
+        cpk_raw = (vals - jnp.uint64(1)) >> jnp.uint64(1)
+        crc = (vals - jnp.uint64(1)) & jnp.uint64(1)
+        ch = jnp.where(slot_ok, hash_packed_kmers(cpk_raw, k=k, seed=seed),
+                       U64_MAX)
+        cc = slot_ok.astype(jnp.uint64)
+        ce = crc * cc
+        cpk = jnp.where(slot_ok, cpk_raw, U64_MAX)
+        nst, nb = _merge_candidates(st, ch, cc, ce, cpk, mh_arg)
+        return (nst, jnp.maximum(below, nb.astype(jnp.uint32)),
+                p + jnp.int32(1))
 
-        def fast_branch(args):
-            hm_, w_, e_, pk_ = args
-            hi = (hm_.reshape(ngroups, GROUP) >> jnp.uint64(32)).astype(
-                jnp.uint32)
-            # order-preserving u32 -> i32 descending key for top_k
-            key32 = jax.lax.bitcast_convert_type(
-                (~hi) ^ jnp.uint32(0x80000000), jnp.int32)
-            _, idx = jax.lax.top_k(key32, GROUP_CAP)
-            base = (jnp.arange(ngroups, dtype=jnp.int32) * GROUP)[:, None]
-            flat = (idx.astype(jnp.int32) + base).ravel()
-            return (hm_[flat], w_[flat], e_[flat], pk_[flat])
+    def cond(carry):
+        _, _, p = carry
+        # continue while the next page's leading column still has survivors
+        # anywhere (rows are sorted ascending, so an all-MAX leading column
+        # means every row is exhausted)
+        more = jnp.any(
+            jax.lax.dynamic_slice(comp, (jnp.int32(0), p * page),
+                                  (rows, 1)) != U64_MAX)
+        return (p < npages) & more
 
-        mh_arg = (max_hash.astype(jnp.uint64) if has_max_hash
-                  else jnp.uint64(0))
-
-        def full_merge(_):
-            return _merge_candidates(state, hm, w, e, pk, mh_arg)
-
-        def fast_merge(_):
-            ch, cc, ce, cpk = fast_branch((hm, w, e, pk))
-            return _merge_candidates(state, ch, cc, ce, cpk, mh_arg)
-
-        new_state, below = jax.lax.cond(fast_ok, fast_merge, full_merge,
-                                        None)
-    else:
-        mh_arg = (max_hash.astype(jnp.uint64) if has_max_hash
-                  else jnp.uint64(0))
-        new_state, below = _merge_candidates(state, hm, w, e, pk, mh_arg)
+    # derive the zero init from the data so it carries the same sharding
+    # varying-axes as the body outputs under shard_map
+    below0 = (comp[0, 0] - comp[0, 0]).astype(jnp.uint32)
+    new_state, below, _ = jax.lax.while_loop(
+        cond, body, (state, below0, jnp.int32(0)))
 
     if not has_max_hash:
         below = jnp.zeros((), dtype=jnp.uint32)
