@@ -1,11 +1,13 @@
 """Benchmark: k-mers hashed + bottom-k-sketched per second per chip.
 
-Streams FRESH 4M-k-mer batches (generated on device, as a host pipeline
-would DMA them in) through the device sketch pipeline — vectorized
-MurmurHash3_x64_128 fused with the chunked-compaction bottom-k merge. All
-timed steps run inside ONE dispatch (lax.fori_loop) so shared-endpoint RPC
-latency amortizes and the number reflects device throughput. Prints ONE
-JSON line; vs_baseline compares against the reference's derived
+Streams fresh 4M-k-mer batches through the device sketch pipeline —
+vectorized pair-arithmetic MurmurHash3_x64_128 fused with the row-sort
+bottom-k merge. Each step's batch is a pregenerated uniform pool xor'd
+with a per-step 42-bit constant: fresh k-mers every step without paying
+the threefry PRNG in the loop. All timed steps run inside ONE dispatch
+(lax.fori_loop) and the pool is passed as a jit ARGUMENT (a closure
+constant would be re-shipped through the endpoint tunnel every dispatch).
+Prints ONE JSON line; vs_baseline compares against the reference's derived
 single-core throughput: finch-rs sketches a 4.8 GB FASTQ in 99 s on a 2015
 MacBook Pro (~4e7 k-mers/s; /root/reference/README.md:112-121, BASELINE.md).
 """
@@ -30,49 +32,60 @@ def main() -> None:
     timed_steps = 32
 
     key = jax.random.PRNGKey(0)
+    lo = jax.random.bits(key, (batch,), dtype=jnp.uint32)
+    hi = jax.random.bits(jax.random.fold_in(key, 1), (batch,),
+                         dtype=jnp.uint32)
+    pool = ((hi.astype(jnp.uint64) << jnp.uint64(32))
+            | lo.astype(jnp.uint64)) & jnp.uint64(4 ** k - 1)
+    rc = (lo & jnp.uint32(1)).astype(jnp.uint8)
 
-    def one_step(i, state):
-        # fresh uniform packed k-mers each step (stand-in for host DMA)
-        kb = jax.random.fold_in(key, i)
-        lo = jax.random.bits(kb, (batch,), dtype=jnp.uint32)
-        hi = jax.random.bits(jax.random.fold_in(kb, 1), (batch,),
-                             dtype=jnp.uint32)
-        packed = ((hi.astype(jnp.uint64) << jnp.uint64(32))
-                  | lo.astype(jnp.uint64)) % jnp.uint64(4 ** k)
-        rc = (lo & jnp.uint32(1)).astype(jnp.uint8)
+    def one_step(i, state, pool, rc):
+        mask = (i.astype(jnp.uint64)
+                * jnp.uint64(0x9E3779B97F4A7C15)) & jnp.uint64(4 ** k - 1)
         new_state, _ = bottomk.sketch_step(
-            state, packed, rc, jnp.uint32(batch), jnp.uint64(0),
+            state, pool ^ mask, rc, jnp.uint32(batch), jnp.uint64(0),
             k=k, seed=0, has_max_hash=False)
         return new_state
 
     @jax.jit
-    def run(state, start):
+    def run(state, pool, rc, start, nsteps):
         return jax.lax.fori_loop(
-            start, start + timed_steps,
-            lambda i, s: one_step(i.astype(jnp.uint32), s), state)
+            start, start + nsteps,
+            lambda i, s: one_step(i.astype(jnp.uint32), s, pool, rc), state)
 
-    @jax.jit
-    def warm(state):
-        return jax.lax.fori_loop(
-            0, warm_steps, lambda i, s: one_step(i.astype(jnp.uint32), s),
-            state)
+    import numpy as np
+
+    def sync(state):
+        # ground-truth sync: a host fetch is the only reliable barrier on
+        # tunneled endpoints (block_until_ready on a device scalar can
+        # return before the dispatch completes)
+        return np.asarray(state[0][:2])
 
     state = bottomk.empty_state(cap)
-    state = warm(state)
-    _ = jnp.sum(state[1]).block_until_ready()
+    state = run(state, pool, rc, jnp.int32(0), jnp.int32(warm_steps))
+    sync(state)
 
-    # single dispatch for all timed steps; take the best of 3 dispatches to
-    # shed shared-endpoint contention
-    best = float("inf")
+    # differential protocol: time dispatches of N and 3N steps and use the
+    # difference, so fixed dispatch + fetch overhead cancels; best of 2
+    # each to shed shared-endpoint contention
     start = warm_steps
-    for _ in range(3):
-        t0 = time.perf_counter()
-        state = run(state, jnp.int32(start))
-        _ = jnp.sum(state[1]).block_until_ready()
-        best = min(best, time.perf_counter() - t0)
-        start += timed_steps
 
-    kmers_per_sec = batch * timed_steps / best
+    def timed_run(nsteps):
+        nonlocal start
+        t0 = time.perf_counter()
+        s = run(state, pool, rc, jnp.int32(start), jnp.int32(nsteps))
+        sync(s)
+        start += nsteps
+        return time.perf_counter() - t0, s
+
+    t_small = t_big = float("inf")
+    for _ in range(2):
+        dt, state = timed_run(timed_steps)
+        t_small = min(t_small, dt)
+        dt, state = timed_run(3 * timed_steps)
+        t_big = min(t_big, dt)
+
+    kmers_per_sec = batch * 2 * timed_steps / max(t_big - t_small, 1e-9)
     print(json.dumps({
         "metric": "kmers_sketched_per_sec_per_chip",
         "value": round(kmers_per_sec, 1),

@@ -205,7 +205,10 @@ class JaxEngine:
             self.capacity = new_cap
 
     def finalize(self):
-        sh, sc, se, spk = self.state
+        state, _ = self._bottomk.flush_state(
+            self.state, self._mh, k=self.params.k,
+            seed=self.params.hash_seed)
+        sh, sc, se, spk = state[:4]
         return _finalize(self.params, np.asarray(sh), np.asarray(sc),
                          np.asarray(se), np.asarray(spk))
 

@@ -9,36 +9,42 @@ reverse-complement occurrences. The scaled variant (scaled.rs:37-61) is
 "all distinct hashes <= max_hash, topped up with the smallest above-threshold
 hashes to `size` total".
 
-TPU mapping (chosen from measured primitive costs on v5e):
-  * NO scatter / segment_* ops — pathological on TPU.
-  * dedup of sorted runs = log-shift segmented scans (Hillis-Steele).
+TPU mapping (from primitive costs measured in-pipeline on v5e — gathers,
+scatters, cumsum-over-batch and searchsorted are all pathological there;
+sorts along the FIRST axis of a (height, lanes) array vectorize across
+lanes and beat same-size last-axis sorts ~2x):
+
   * admission prefilter: batch hashes above the current Kth-smallest can
     never enter the final sketch, and all occurrences of surviving hashes
-    pass the filter, so counts stay exact.
-  * survivor extraction = row-sort + column paging (no gathers, no cumsum,
-    no scatter — all measured pathological or RPC-bound on v5e). The batch
-    is reshaped to (rows, G) lanes of a composite key
-    (packed_kmer << 1 | is_rc) + 1, with pre-filtered lanes set to
-    u64::MAX; each row is sorted independently (a (B/G, G) row-sort costs
-    about one HBM-tile pass — measured cheaper than a same-size top_k),
-    putting every row's survivors in its leading columns. A lax.while_loop
-    then merges fixed-width column pages [p*C, (p+1)*C) — static-stride
-    dynamic slices — into the state until the leading column of the next
-    page is entirely MAX (all rows exhausted). Hashes are recomputed from
-    the composite payload per page, so the full-batch hash fuses into the
-    keep-mask pass and is never materialized.
-    One code path handles cold start, survivor bursts, duplicate-heavy
-    batches (duplicates sort adjacent and the merge dedups them into
-    counts) and the warm steady state — exactly, with no fallback branch:
-    page-wise merging is exact because a hash truncated from the state can
-    never re-enter (the state is always full of smaller hashes from then
-    on), so its later occurrences are pre-filtered out.
+    pass the filter, so counts stay exact. The hash fuses into this pass
+    and is never materialized; survivors carry a 43-bit composite payload
+    (packed_kmer << 1 | is_rc) + 1, pre-filtered lanes u64::MAX.
+  * survivor extraction = transposed-sort compaction: sort the (64, B/64)
+    composite along axis 0 (survivors float to the top rows of each
+    column), then re-compact a 4-row slab through a second (256, ...)
+    axis-0 sort, and append fixed ~32k-entry row-slabs to a spill buffer.
+    Slabs page downward inside lax.while_loops until the next row is
+    all-MAX, so any survivor density (cold start, bursts, duplicate-heavy
+    batches) is covered exactly by the same code path.
+  * the spill buffer defers the expensive state merge: appends are
+    contiguous dynamic_update_slices; only when the spill fills (or at
+    finalize / every scaled step) does a flush rehash the spilled payloads
+    and merge them into the sorted state (sort + run-dedup via boundary-
+    differenced cumsums + compaction sort). Merge cost amortizes over
+    ~SPILL/PAGE batches; between flushes the admission threshold is frozen,
+    which only admits a superset (exactness is unaffected; the equilibrium
+    is self-balancing because a flush refreshes the threshold).
+  * page-wise/flush-wise merging is exact because a hash truncated from the
+    state can never re-enter: the state is permanently full of smaller
+    hashes from that point on, so later occurrences are pre-filtered out.
 
-State layout (all u64, fixed capacity C, sorted ascending by hash):
-    hashes[C] — u64::MAX in empty slots
-    counts[C] — 0 in empty slots (saturated to u32 at finalization)
-    extras[C] — reverse-complement occurrence counts
-    packed[C] — 2-bit packed canonical k-mer codes (payload)
+State layout (fixed capacity C, spill capacity S; hashes sorted ascending):
+    hashes[C] u64 — u64::MAX in empty slots
+    counts[C] u64 — 0 in empty slots (saturated to u32 at finalization)
+    extras[C] u64 — reverse-complement occurrence counts
+    packed[C] u64 — 2-bit packed canonical k-mer codes (payload)
+    spill[S]  u64 — composite payloads awaiting merge; u64::MAX when empty
+    fill[1]   i32 — spill occupancy
 """
 
 from __future__ import annotations
@@ -53,22 +59,28 @@ from finch_tpu.ops.murmur3 import hash_packed_kmers
 
 U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
-ROW = 4096        # lanes per row-sort row
-PAGE = 128        # columns merged per while_loop page
+PAGE = 32768       # spill append granularity (entries)
+STAGE1_H = 64      # height of the first transposed sort
+STAGE1_ROWS = 4    # stage-1 rows re-compacted per stage-2 sort
+STAGE2_H = 256     # height of the second transposed sort
 
 
-def empty_state(capacity: int):
+def spill_capacity(capacity: int) -> int:
+    """Spill sized to amortize merges ~8-32x without dwarfing tiny states."""
+    return int(max(2 * PAGE, min(1 << 20, 8 * capacity)))
+
+
+def empty_state(capacity: int, spill: int | None = None):
+    if spill is None:
+        spill = spill_capacity(capacity)
     return (
         jnp.full((capacity,), U64_MAX, dtype=jnp.uint64),
         jnp.zeros((capacity,), dtype=jnp.uint64),
         jnp.zeros((capacity,), dtype=jnp.uint64),
         jnp.zeros((capacity,), dtype=jnp.uint64),
+        jnp.full((spill,), U64_MAX, dtype=jnp.uint64),
+        jnp.zeros((1,), dtype=jnp.int32),
     )
-
-
-def _shift_down(x, d, fill):
-    pad = jnp.full((d,), fill, dtype=x.dtype)
-    return jnp.concatenate([pad, x[:-d]])
 
 
 def _dedup_truncate(h, c, e, pk, out_len: int):
@@ -76,46 +88,48 @@ def _dedup_truncate(h, c, e, pk, out_len: int):
 
     Returns (h, c, e, pk) of length out_len holding the distinct hashes in
     ascending order with summed counts; unused slots (U64_MAX, 0).
-    Scatter-free: Hillis-Steele segmented scans + one compaction sort.
+    Scatter-free: run totals come from inclusive cumsums differenced at run
+    boundaries — the previous run's cumulative total is recovered with a
+    cummax over end-masked partial sums (valid because cumsums of
+    non-negative counts are monotone), then one compaction sort.
+
+    The kmer payload for a run is taken from its last element; entries of a
+    run can only disagree on payload under a 64-bit hash collision, where
+    the reference keeps the first-seen kmer (mash.rs:44-50) — an
+    unobservable difference in practice.
     """
-    n = h.shape[0]
-    start = jnp.concatenate(
-        [jnp.ones((1,), bool), h[1:] != h[:-1]])
-    is_end = jnp.concatenate(
-        [h[1:] != h[:-1], jnp.ones((1,), bool)])
+    is_end = jnp.concatenate([h[1:] != h[:-1], jnp.ones((1,), bool)])
 
-    # segmented inclusive scans: sums for counts, min for the kmer payload
-    open_ = ~start
-    cs, es, pks = c, e, pk
-    d = 1
-    while d < n:
-        cs = cs + jnp.where(open_, _shift_down(cs, d, np.uint64(0)), 0)
-        es = es + jnp.where(open_, _shift_down(es, d, np.uint64(0)), 0)
-        pks = jnp.where(open_,
-                        jnp.minimum(pks, _shift_down(pks, d, U64_MAX)), pks)
-        open_ = open_ & _shift_down(open_, d, False)
-        d <<= 1
+    cs_c = jnp.cumsum(c)
+    cs_e = jnp.cumsum(e)
+    zero = jnp.zeros((1,), dtype=c.dtype)
+    prev_c = jnp.concatenate(
+        [zero, jax.lax.cummax(jnp.where(is_end, cs_c, 0))[:-1]])
+    prev_e = jnp.concatenate(
+        [zero, jax.lax.cummax(jnp.where(is_end, cs_e, 0))[:-1]])
+    run_c = cs_c - prev_c
+    run_e = cs_e - prev_e
 
-    real = is_end & (cs > 0)
+    real = is_end & (run_c > 0)
     kh = jnp.where(real, h, U64_MAX)
     pad_rank = (~real).astype(jnp.uint64)  # real u64::MAX hashes sort first
-    kc = jnp.where(real, cs, 0)
-    ke = jnp.where(real, es, 0)
-    kpk = jnp.where(real, pks, U64_MAX)
+    kc = jnp.where(real, run_c, 0)
+    ke = jnp.where(real, run_e, 0)
+    kpk = jnp.where(real, pk, U64_MAX)
     kh, pad_rank, kc, ke, kpk = jax.lax.sort(
         (kh, pad_rank, kc, ke, kpk), num_keys=2)
     return (kh[:out_len], kc[:out_len], ke[:out_len], kpk[:out_len]), (
         kh, kc)
 
 
-def _merge_candidates(state, ch, cc, ce, cpk, max_hash):
-    """Merge candidates into the state: sort + dedup + truncate.
+def _merge_candidates(state4, ch, cc, ce, cpk, max_hash):
+    """Merge candidates into the 4-array state: sort + dedup + truncate.
 
-    Returns (new_state, below) where below counts distinct hashes
+    Returns (new_state4, below) where below counts distinct hashes
     <= max_hash in the PRE-truncation merged view — the exact signal the
     scaled driver needs to grow capacity before anything is lost.
     """
-    sh, sc, se, spk = state
+    sh, sc, se, spk = state4
     cap = sh.shape[0]
     mh = jnp.concatenate([sh, ch])
     mc = jnp.concatenate([sc, cc])
@@ -127,28 +141,58 @@ def _merge_candidates(state, ch, cc, ce, cpk, max_hash):
     return new_state, below
 
 
+def _flush(state4, spill, max_hash, *, k: int, seed: int):
+    """Rehash spilled composite payloads and merge them into the state."""
+    ok = spill != U64_MAX
+    cpk_raw = (spill - jnp.uint64(1)) >> jnp.uint64(1)
+    ch = jnp.where(ok, hash_packed_kmers(cpk_raw, k=k, seed=seed), U64_MAX)
+    cc = ok.astype(jnp.uint64)
+    ce = ((spill - jnp.uint64(1)) & jnp.uint64(1)) * cc
+    cpk = jnp.where(ok, cpk_raw, U64_MAX)
+    return _merge_candidates(state4, ch, cc, ce, cpk, max_hash)
+
+
+def _append_page(carry, cand, mh_arg, *, k: int, seed: int):
+    """Append one candidate page to the spill, flushing first if needed."""
+    state4, spill, fill, below = carry
+    need = cand.shape[0]
+    sp = spill.shape[0]
+
+    def do_flush(args):
+        st4, spl, bel = args
+        nst, nb = _flush(st4, spl, mh_arg, k=k, seed=seed)
+        return (nst, jnp.full_like(spl, U64_MAX),
+                jnp.maximum(bel, nb.astype(jnp.uint32)))
+
+    def no_flush(args):
+        return args
+
+    must = fill[0] + need > sp
+    state4, spill, below = jax.lax.cond(
+        must, do_flush, no_flush, (state4, spill, below))
+    fill = jnp.where(must, jnp.zeros_like(fill), fill)
+    spill = jax.lax.dynamic_update_slice(spill, cand, (fill[0],))
+    return state4, spill, fill + need, below
+
+
 @partial(jax.jit, static_argnames=("k", "seed", "has_max_hash"))
 def sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
                 *, k: int, seed: int, has_max_hash: bool):
     """Fold one batch of packed canonical k-mers into the sketch state.
 
     Exact for any input (cold state, survivor bursts, duplicates) via
-    row-sort + column-page extraction — see the module docstring. Returns
-    (new_state, below_count) — below_count is the max, over chunk merges,
-    of the number of distinct hashes <= max_hash in the pre-truncation
-    merged view (scaled capacity-growth signal: any truncation loss forces
-    below_count > capacity, so the driver's grow-and-redo rail always
-    fires before data is lost).
+    transposed-sort compaction + spill — see the module docstring. Returns
+    (new_state, below_count): below_count is the max, over flushes this
+    step, of the number of distinct hashes <= max_hash in the
+    pre-truncation merged view (scaled capacity-growth signal: any
+    truncation loss forces below_count > capacity, so the driver's
+    grow-and-redo rail always fires before data is lost). When
+    has_max_hash, the spill is flushed every step so below is current.
     """
-    sh, sc, se, spk = state
+    sh, sc, se, spk, spill, fill = state
+    state4 = (sh, sc, se, spk)
     b = batch_packed.shape[0]
-    g = min(ROW, b)
-    rows = b // g
-    page = min(PAGE, g)
-    npages = g // page
 
-    # Fused pass: hash + prefilter + composite key. XLA fuses the hash into
-    # the row-sort input, so the hash lanes are never materialized.
     h = hash_packed_kmers(batch_packed, k=k, seed=seed)
     valid = jnp.arange(b, dtype=jnp.uint32) < nvalid.astype(jnp.uint32)
     thresh = sh[-1]
@@ -160,72 +204,141 @@ def sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
         ((batch_packed.astype(jnp.uint64) << jnp.uint64(1))
          | batch_rc.astype(jnp.uint64)) + jnp.uint64(1),
         U64_MAX)
-    comp = jax.lax.sort(comp.reshape(rows, g), dimension=1)
     mh_arg = (max_hash.astype(jnp.uint64) if has_max_hash
               else jnp.uint64(0))
 
-    def body(carry):
-        st, below, p = carry
-        vals = jax.lax.dynamic_slice(
-            comp, (jnp.int32(0), p * page), (rows, page)).ravel()
-        slot_ok = vals != U64_MAX
-        cpk_raw = (vals - jnp.uint64(1)) >> jnp.uint64(1)
-        crc = (vals - jnp.uint64(1)) & jnp.uint64(1)
-        ch = jnp.where(slot_ok, hash_packed_kmers(cpk_raw, k=k, seed=seed),
-                       U64_MAX)
-        cc = slot_ok.astype(jnp.uint64)
-        ce = crc * cc
-        cpk = jnp.where(slot_ok, cpk_raw, U64_MAX)
-        nst, nb = _merge_candidates(st, ch, cc, ce, cpk, mh_arg)
-        return (nst, jnp.maximum(below, nb.astype(jnp.uint32)),
-                p + jnp.int32(1))
+    below0 = (fill[0] - fill[0]).astype(jnp.uint32)
+    carry0 = (state4, spill, fill, below0)
 
-    def cond(carry):
-        _, _, p = carry
-        # continue while the next page's leading column still has survivors
-        # anywhere (rows are sorted ascending, so an all-MAX leading column
-        # means every row is exhausted)
-        more = jnp.any(
-            jax.lax.dynamic_slice(comp, (jnp.int32(0), p * page),
-                                  (rows, 1)) != U64_MAX)
-        return (p < npages) & more
+    two_stage = b >= STAGE1_H * STAGE2_H * 16 and b % (4096 * STAGE1_ROWS) == 0
 
-    # derive the zero init from the data so it carries the same sharding
-    # varying-axes as the body outputs under shard_map
-    below0 = (comp[0, 0] - comp[0, 0]).astype(jnp.uint32)
-    new_state, below, _ = jax.lax.while_loop(
-        cond, body, (state, below0, jnp.int32(0)))
+    if two_stage:
+        w1 = b // STAGE1_H
+        s1 = jax.lax.sort(comp.reshape(STAGE1_H, w1), dimension=0)
+        n1 = STAGE1_H // STAGE1_ROWS
+        w2 = (STAGE1_ROWS * w1) // STAGE2_H
+        r2 = max(1, min(STAGE2_H, PAGE // w2))
+        n2 = STAGE2_H // r2
 
-    if not has_max_hash:
-        below = jnp.zeros((), dtype=jnp.uint32)
-    return new_state, below
+        def inner(p2, carry_s2):
+            carry, s2 = carry_s2
+            cand = jax.lax.dynamic_slice(
+                s2, (p2 * r2, jnp.int32(0)), (r2, w2)).ravel()
+            return (_append_page(carry, cand, mh_arg, k=k, seed=seed), s2)
+
+        def inner_cond(p2, carry_s2):
+            _, s2 = carry_s2
+            return (p2 < n2) & jnp.any(
+                jax.lax.dynamic_slice(
+                    s2, (p2 * r2, jnp.int32(0)), (1, w2)) != U64_MAX)
+
+        def outer(carry_p1):
+            carry, p1 = carry_p1
+            block = jax.lax.dynamic_slice(
+                s1, (p1 * STAGE1_ROWS, jnp.int32(0)), (STAGE1_ROWS, w1))
+            s2 = jax.lax.sort(block.reshape(STAGE2_H, w2), dimension=0)
+
+            def iw_cond(c):
+                p2, cs2 = c
+                return inner_cond(p2, cs2)
+
+            def iw_body(c):
+                p2, cs2 = c
+                return p2 + jnp.int32(1), inner(p2, cs2)
+
+            _, (carry, _) = jax.lax.while_loop(
+                iw_cond, iw_body, (jnp.int32(0), (carry, s2)))
+            return carry, p1 + jnp.int32(1)
+
+        def outer_cond(carry_p1):
+            _, p1 = carry_p1
+            return (p1 < n1) & jnp.any(
+                jax.lax.dynamic_slice(
+                    s1, (p1 * STAGE1_ROWS, jnp.int32(0)),
+                    (1, w1)) != U64_MAX)
+
+        (state4, spill, fill, below), _ = jax.lax.while_loop(
+            outer_cond, outer, (carry0, jnp.int32(0)))
+    else:
+        s1 = jax.lax.sort(comp)
+        page = min(b, PAGE)
+        npages = b // page if b % page == 0 else (b + page - 1) // page
+
+        def body(carry_p):
+            carry, p = carry_p
+            cand = jax.lax.dynamic_slice(s1, (p * page,), (page,))
+            return (_append_page(carry, cand, mh_arg, k=k, seed=seed),
+                    p + jnp.int32(1))
+
+        def cond(carry_p):
+            _, p = carry_p
+            return (p < npages) & (
+                jax.lax.dynamic_slice(s1, (p * page,), (1,))[0] != U64_MAX)
+
+        (state4, spill, fill, below), _ = jax.lax.while_loop(
+            cond, body, (carry0, jnp.int32(0)))
+
+    if has_max_hash:
+        # scaled sketching needs a current below-count every step: flush
+        nst, nb = _flush(state4, spill, mh_arg, k=k, seed=seed)
+        state4 = nst
+        below = jnp.maximum(below, nb.astype(jnp.uint32))
+        spill = jnp.full_like(spill, U64_MAX)
+        fill = jnp.zeros_like(fill)
+    else:
+        below = below0
+
+    return (*state4, spill, fill), below
+
+
+@partial(jax.jit, static_argnames=("k", "seed"))
+def flush_state(state, max_hash, *, k: int, seed: int):
+    """Merge any spilled candidates into the state (finalize barrier)."""
+    sh, sc, se, spk, spill, fill = state
+    state4, below = _flush((sh, sc, se, spk), spill, max_hash, k=k,
+                           seed=seed)
+    return ((*state4, jnp.full_like(spill, U64_MAX), jnp.zeros_like(fill)),
+            below)
 
 
 @jax.jit
 def grow_state(state, new_capacity_template):
-    """Copy state into a larger capacity buffer (scaled scheme growth)."""
-    nh, nc, ne, npk = new_capacity_template
-    sh, sc, se, spk = state
+    """Copy state into a larger capacity buffer (scaled scheme growth).
+
+    Only grows the 4 sorted arrays; the spill must be empty (the scaled
+    path flushes every step, and growth only happens on the scaled path).
+    """
+    nh, nc, ne, npk, nspill, nfill = new_capacity_template
+    sh, sc, se, spk, _, _ = state
     n = sh.shape[0]
     return (
         nh.at[:n].set(sh),
         nc.at[:n].set(sc),
         ne.at[:n].set(se),
         npk.at[:n].set(spk),
+        nspill,
+        nfill,
     )
 
 
-def merge_states(states):
+def merge_states(states, *, k: int, seed: int):
     """Associative merge of per-shard sketch states (same capacity).
 
     Used by the multi-device path: partial bottom-k states from different
-    data shards merge exactly (counts add on equal hashes).
+    data shards merge exactly (counts add on equal hashes). Each state's
+    spill is flushed first.
     """
-    h = jnp.concatenate([s[0] for s in states])
-    c = jnp.concatenate([s[1] for s in states])
-    e = jnp.concatenate([s[2] for s in states])
-    pk = jnp.concatenate([s[3] for s in states])
+    flushed = []
+    for s in states:
+        s4, _ = _flush((s[0], s[1], s[2], s[3]), s[4], jnp.uint64(0),
+                       k=k, seed=seed)
+        flushed.append(s4)
+    h = jnp.concatenate([s[0] for s in flushed])
+    c = jnp.concatenate([s[1] for s in flushed])
+    e = jnp.concatenate([s[2] for s in flushed])
+    pk = jnp.concatenate([s[3] for s in flushed])
     h, c, e, pk = jax.lax.sort((h, c, e, pk), num_keys=1)
     cap = states[0][0].shape[0]
     merged, _ = _dedup_truncate(h, c, e, pk, cap)
-    return merged
+    return (*merged, jnp.full_like(states[0][4], U64_MAX),
+            jnp.zeros_like(states[0][5]))

@@ -41,16 +41,16 @@ def _sharded_step(state, batch_packed, batch_rc, nvalid, max_hash,
         return (jax.tree.map(lambda x: x[None], new_state), below[None])
 
     spec = P(axis)
+    st_spec = (spec,) * 6
     return shard_map(
         body, mesh=mesh,
-        in_specs=(
-            (spec, spec, spec, spec), spec, spec, spec, P()),
-        out_specs=((spec, spec, spec, spec), spec),
+        in_specs=(st_spec, spec, spec, spec, P()),
+        out_specs=(st_spec, spec),
     )(state, batch_packed, batch_rc, nvalid, max_hash)
 
 
-@partial(jax.jit, static_argnames=("mesh", "axis"))
-def _sharded_finalize(state, *, mesh, axis):
+@partial(jax.jit, static_argnames=("mesh", "axis", "k", "seed"))
+def _sharded_finalize(state, *, mesh, axis, k, seed):
     """All-gather per-device states and merge into one exact bottom-k."""
 
     def body(st):
@@ -58,14 +58,15 @@ def _sharded_finalize(state, *, mesh, axis):
             lambda x: jax.lax.all_gather(x[0], axis, axis=0), st)
         n = full[0].shape[0]
         states = [jax.tree.map(lambda x: x[i], full) for i in range(n)]
-        merged = bottomk.merge_states(states)
+        merged = bottomk.merge_states(states, k=k, seed=seed)
         return jax.tree.map(lambda x: x[None], merged)
 
     spec = P(axis)
+    st_spec = (spec,) * 6
     return shard_map(
         body, mesh=mesh,
-        in_specs=((spec, spec, spec, spec),),
-        out_specs=(P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(st_spec,),
+        out_specs=st_spec,
     )(state)
 
 
@@ -97,10 +98,16 @@ class ShardedSketchEngine:
 
     def _empty_state(self, capacity):
         n = self.n
-        mk = lambda fill, dt: jax.device_put(
-            np.full((n, capacity), fill, dtype=dt), self._sharding)
-        return (mk(np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64),
-                mk(0, np.uint64), mk(0, np.uint64), mk(0, np.uint64))
+        sp = bottomk.spill_capacity(capacity)
+        mk = lambda shape, fill, dt: jax.device_put(
+            np.full(shape, fill, dtype=dt), self._sharding)
+        u64max = np.uint64(0xFFFFFFFFFFFFFFFF)
+        return (mk((n, capacity), u64max, np.uint64),
+                mk((n, capacity), 0, np.uint64),
+                mk((n, capacity), 0, np.uint64),
+                mk((n, capacity), 0, np.uint64),
+                mk((n, sp), u64max, np.uint64),
+                mk((n, 1), 0, np.int32))
 
     def update(self, packed: np.ndarray, rc: np.ndarray) -> None:
         total = len(packed)
@@ -153,18 +160,22 @@ class ShardedSketchEngine:
             new_cap = max(self.capacity * 2, below_total + self.size)
             old = self.state
             tmpl = self._empty_state(new_cap)
-            self.state = tuple(
+            grown = [
                 jax.device_put(np.concatenate(
                     [np.asarray(o), np.asarray(t)[:, self.capacity:]],
                     axis=1), self._sharding)
-                for o, t in zip(old, tmpl))
+                for o, t in zip(old[:4], tmpl[:4])]
+            # the scaled path flushes every step, so the spill is empty:
+            # take the template's (possibly resized) spill and zero fill
+            self.state = (*grown, tmpl[4], tmpl[5])
             self.capacity = new_cap
 
     def finalize(self):
         from finch_tpu.models.engine import _finalize
 
         merged = _sharded_finalize(self.state, mesh=self.mesh,
-                                   axis=self.axis)
+                                   axis=self.axis, k=self.params.k,
+                                   seed=self.params.hash_seed)
         # every shard row holds the same merged result; take row 0
-        h, c, e, pkk = (np.asarray(x)[0] for x in merged)
+        h, c, e, pkk = (np.asarray(x)[0] for x in merged[:4])
         return _finalize(self.params, h, c, e, pkk)
