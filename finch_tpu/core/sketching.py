@@ -30,13 +30,22 @@ def sketch_stream(source, name: str, sketch_params: SketchParams,
                   filters: FilterParams, backend: str = "auto",
                   batch_size: int = 1 << 21) -> Sketch:
     """Sketch one FASTA/FASTQ(.gz) source (path or bytes). lib.rs:51-94."""
+    from finch_tpu.utils import get_meter, metrics_enabled, report
+
     filter_params = filters.copy()
     engine = _make_engine(sketch_params, backend, batch_size)
     canonical = sketch_params.sketch_type != "none"
     reader = KmerReader(source, k=sketch_params.k, canonical=canonical,
                         batch_size=batch_size)
+    parse_m = get_meter("parse_kmers")
+    engine_m = get_meter("engine_kmers")
+    parse_m.start()
     for packed, rc in reader:
-        engine.update(packed, rc)
+        parse_m.stop(len(packed))
+        with engine_m.timed(len(packed)):
+            engine.update(packed, rc)
+        parse_m.start()
+    parse_m.stop(0)
 
     # FASTA disables filtering unless explicitly requested (lib.rs:71-76)
     if filter_params.filter_on is None:
@@ -50,7 +59,10 @@ def sketch_stream(source, name: str, sketch_params: SketchParams,
         num_valid_kmers = int(np.minimum(engine.counts, 0xFFFFFFFF).sum())
     reader.close()
 
-    hashes = engine.finalize()
+    with get_meter("finalize").timed(1):
+        hashes = engine.finalize()
+    if metrics_enabled():
+        report()
 
     filtered_hashes = filter_params.filter_counts(hashes)
     filtered_hashes = sketch_params.process_post_filter(filtered_hashes, name)

@@ -16,6 +16,8 @@ scaled — all distinct hashes <= max_hash plus the smallest above-threshold
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 
 from finch_tpu.models.params import SketchParams, U32_MAX, U64_MAX
@@ -213,6 +215,69 @@ class JaxEngine:
                          np.asarray(se), np.asarray(spk))
 
 
+class HybridEngine:
+    """Host engine that migrates to the device engine for large streams.
+
+    Small inputs finish on the host (no compile latency); once the stream
+    crosses `switch_after` k-mers, the accumulated host state — already the
+    exact sorted bottom-k with counts — seeds a device state and sketching
+    continues on the accelerator. Bit-identical either way.
+    """
+
+    def __init__(self, params: SketchParams, batch_size: int = 1 << 21,
+                 switch_after: int = 4 << 20):
+        self.params = params
+        self.batch_size = batch_size
+        self.switch_after = switch_after
+        self._host = NumpyEngine(params)
+        self._dev: Optional[JaxEngine] = None
+        self._seen = 0
+
+    def _migrate(self) -> None:
+        import jax.numpy as jnp
+
+        dev = JaxEngine(self.params, batch_size=self.batch_size)
+        h = self._host
+        n = len(h.h)
+        while dev.capacity < n:
+            # scaled host state may exceed the initial device capacity
+            from finch_tpu.ops import bottomk
+
+            dev.capacity *= 2
+            dev.state = bottomk.empty_state(dev.capacity)
+        sh, sc, se, spk, spill, fill = dev.state
+        dev.state = (
+            sh.at[:n].set(jnp.asarray(h.h)),
+            sc.at[:n].set(jnp.asarray(h.c)),
+            se.at[:n].set(jnp.asarray(h.e)),
+            spk.at[:n].set(jnp.asarray(h.pk)),
+            spill, fill,
+        )
+        self._dev = dev
+        self._host = None
+
+    def update(self, packed: np.ndarray, rc: np.ndarray) -> None:
+        if self._dev is None:
+            self._host.update(packed, rc)
+            self._seen += len(packed)
+            if self._seen >= self.switch_after:
+                self._migrate()
+        else:
+            self._dev.update(packed, rc)
+
+    def finalize(self):
+        return (self._host or self._dev).finalize()
+
+
+def _accelerator_present() -> bool:
+    try:
+        import jax
+
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
 def make_engine(params: SketchParams, backend: str = "auto",
                 batch_size: int = 1 << 21):
     if backend == "numpy":
@@ -220,5 +285,7 @@ def make_engine(params: SketchParams, backend: str = "auto",
     if backend == "jax":
         return JaxEngine(params, batch_size=batch_size)
     if backend == "auto":
+        if _accelerator_present():
+            return HybridEngine(params, batch_size=batch_size)
         return NumpyEngine(params)
     raise ValueError(f"unknown backend {backend!r}")

@@ -9,5 +9,7 @@ collectives, and reference-DB sharding for query/all-vs-all distance.
 from finch_tpu.parallel.mesh import make_mesh
 from finch_tpu.parallel.sharded_sketch import ShardedSketchEngine
 from finch_tpu.parallel.sharded_dist import all_vs_all_arrays
+from finch_tpu.parallel import distributed
 
-__all__ = ["make_mesh", "ShardedSketchEngine", "all_vs_all_arrays"]
+__all__ = ["make_mesh", "ShardedSketchEngine", "all_vs_all_arrays",
+           "distributed"]

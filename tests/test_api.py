@@ -145,3 +145,31 @@ def test_copy_independent():
     c = s.copy()
     c.name = "other"
     assert s.name == "s"
+
+
+def test_metrics_meter_and_report(capsys):
+    """utils.metrics: meters accumulate and report (SURVEY §5 observability)."""
+    from finch_tpu.utils import get_meter, report
+
+    m = get_meter("test_stage")
+    with m.timed(100):
+        pass
+    m.start()
+    m.stop(50)
+    assert m.items >= 150 and m.calls >= 2 and m.rate() > 0
+    import io
+    buf = io.StringIO()
+    report(file=buf)
+    assert "test_stage" in buf.getvalue()
+
+
+def test_distributed_global_mesh():
+    """parallel.distributed.global_mesh covers all local (virtual) devices."""
+    import jax
+
+    from finch_tpu.parallel import distributed
+
+    mesh = distributed.global_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    assert mesh.axis_names == ("data",)
+    assert distributed.is_primary() in (True, False)

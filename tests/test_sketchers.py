@@ -169,3 +169,30 @@ def test_allcounts_scheme():
     assert (by_kmer[b"TA"].count, by_kmer[b"TA"].extra_count) == (2, 1)
     assert s.seq_length == 0
     assert s.num_valid_kmers == 5
+
+
+def test_hybrid_engine_matches_numpy():
+    """HybridEngine migrates host state to the device engine mid-stream and
+    stays bit-identical (engine.py HybridEngine)."""
+    import numpy as np
+
+    from finch_tpu.models.engine import HybridEngine, NumpyEngine
+    from finch_tpu.models.params import SketchParams
+
+    rng = np.random.default_rng(7)
+    batches = [
+        (rng.integers(0, 4 ** 21, size=n, dtype=np.uint64),
+         rng.integers(0, 2, size=n, dtype=np.uint8))
+        for n in (1500, 2000, 3000, 1000)
+    ]
+    for params in (SketchParams.mash(kmers_to_sketch=64, final_size=64),
+                   SketchParams.scaled(scale=0.01, kmers_to_sketch=16)):
+        ref = NumpyEngine(params)
+        hyb = HybridEngine(params, switch_after=2048)  # migrate mid-stream
+        for pk, rc in batches:
+            ref.update(pk, rc)
+            hyb.update(pk, rc)
+        assert hyb._dev is not None, "migration did not happen"
+        a = [(k.hash, k.kmer, k.count, k.extra_count) for k in ref.finalize()]
+        b = [(k.hash, k.kmer, k.count, k.extra_count) for k in hyb.finalize()]
+        assert a == b
