@@ -60,7 +60,7 @@ from finch_tpu.ops.murmur3 import hash_packed_kmers
 U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 PAGE = 32768       # spill append granularity (entries)
-STAGE1_H = 64      # height of the first transposed sort
+STAGE1_H = 32      # height of the first transposed sort
 STAGE1_ROWS = 4    # stage-1 rows re-compacted per stage-2 sort
 STAGE2_H = 256     # height of the second transposed sort
 
@@ -226,8 +226,7 @@ def sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
                 s2, (p2 * r2, jnp.int32(0)), (r2, w2)).ravel()
             return (_append_page(carry, cand, mh_arg, k=k, seed=seed), s2)
 
-        def inner_cond(p2, carry_s2):
-            _, s2 = carry_s2
+        def inner_cond(p2, s2):
             return (p2 < n2) & jnp.any(
                 jax.lax.dynamic_slice(
                     s2, (p2 * r2, jnp.int32(0)), (1, w2)) != U64_MAX)
@@ -238,16 +237,13 @@ def sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
                 s1, (p1 * STAGE1_ROWS, jnp.int32(0)), (STAGE1_ROWS, w1))
             s2 = jax.lax.sort(block.reshape(STAGE2_H, w2), dimension=0)
 
-            def iw_cond(c):
-                p2, cs2 = c
-                return inner_cond(p2, cs2)
-
             def iw_body(c):
                 p2, cs2 = c
                 return p2 + jnp.int32(1), inner(p2, cs2)
 
             _, (carry, _) = jax.lax.while_loop(
-                iw_cond, iw_body, (jnp.int32(0), (carry, s2)))
+                lambda c: inner_cond(c[0], c[1][1]),
+                iw_body, (jnp.int32(0), (carry, s2)))
             return carry, p1 + jnp.int32(1)
 
         def outer_cond(carry_p1):
