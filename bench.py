@@ -44,7 +44,8 @@ def main() -> None:
                 * jnp.uint64(0x9E3779B97F4A7C15)) & jnp.uint64(4 ** k - 1)
         new_state, _ = bottomk.sketch_step(
             state, pool ^ mask, rc, jnp.uint32(batch), jnp.uint64(0),
-            k=k, seed=0, has_max_hash=False)
+            k=k, seed=0, has_max_hash=False,
+            use_kernel=bottomk.auto_use_kernel())
         return new_state
 
     @jax.jit

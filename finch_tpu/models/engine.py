@@ -151,6 +151,7 @@ class JaxEngine:
         self.state = bottomk.empty_state(self.capacity)
         self._mh = (jnp.uint64(self.max_hash) if self.max_hash is not None
                     else jnp.uint64(0))
+        self._use_kernel = bottomk.auto_use_kernel()
 
     @staticmethod
     def _bucket(n: int) -> int:
@@ -192,7 +193,7 @@ class JaxEngine:
             new_state, below = bk.sketch_step(
                 self.state, pk_d, rc_d, nvalid, self._mh,
                 k=self.params.k, seed=self.params.hash_seed,
-                has_max_hash=is_scaled)
+                has_max_hash=is_scaled, use_kernel=self._use_kernel)
             if not is_scaled:
                 self.state = new_state
                 return

@@ -56,8 +56,22 @@ import jax.numpy as jnp
 import numpy as np
 
 from finch_tpu.ops.murmur3 import hash_packed_kmers
+from finch_tpu.ops import pallas_extract
 
 U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def auto_use_kernel() -> bool:
+    """True when the fused Pallas extraction can run (an accelerator is the
+    default backend); callers pass this as sketch_step's use_kernel."""
+    if not pallas_extract.HAVE_PALLAS:
+        return False
+    try:
+        import jax as _jax
+
+        return _jax.devices()[0].platform != "cpu"
+    except Exception:
+        return False
 
 PAGE = 32768       # spill append granularity (entries)
 STAGE1_H = 32      # height of the first transposed sort
@@ -175,9 +189,11 @@ def _append_page(carry, cand, mh_arg, *, k: int, seed: int):
     return state4, spill, fill + need, below
 
 
-@partial(jax.jit, static_argnames=("k", "seed", "has_max_hash"))
+@partial(jax.jit, static_argnames=("k", "seed", "has_max_hash",
+                                   "use_kernel"))
 def sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
-                *, k: int, seed: int, has_max_hash: bool):
+                *, k: int, seed: int, has_max_hash: bool,
+                use_kernel: bool = False):
     """Fold one batch of packed canonical k-mers into the sketch state.
 
     Exact for any input (cold state, survivor bursts, duplicates) via
@@ -193,17 +209,10 @@ def sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
     state4 = (sh, sc, se, spk)
     b = batch_packed.shape[0]
 
-    h = hash_packed_kmers(batch_packed, k=k, seed=seed)
     valid = jnp.arange(b, dtype=jnp.uint32) < nvalid.astype(jnp.uint32)
     thresh = sh[-1]
     if has_max_hash:
         thresh = jnp.maximum(thresh, max_hash.astype(jnp.uint64))
-    keep = valid & (h <= thresh)
-    comp = jnp.where(
-        keep,
-        ((batch_packed.astype(jnp.uint64) << jnp.uint64(1))
-         | batch_rc.astype(jnp.uint64)) + jnp.uint64(1),
-        U64_MAX)
     mh_arg = (max_hash.astype(jnp.uint64) if has_max_hash
               else jnp.uint64(0))
 
@@ -212,38 +221,52 @@ def sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
 
     two_stage = b >= STAGE1_H * STAGE2_H * 16 and b % (4096 * STAGE1_ROWS) == 0
 
-    if two_stage:
-        w1 = b // STAGE1_H
-        s1 = jax.lax.sort(comp.reshape(STAGE1_H, w1), dimension=0)
-        n1 = STAGE1_H // STAGE1_ROWS
-        w2 = (STAGE1_ROWS * w1) // STAGE2_H
+    def xla_comp():
+        """Hash + prefilter + composite, fused into one elementwise pass."""
+        h = hash_packed_kmers(batch_packed, k=k, seed=seed)
+        keep = valid & (h <= thresh)
+        return jnp.where(
+            keep,
+            ((batch_packed.astype(jnp.uint64) << jnp.uint64(1))
+             | batch_rc.astype(jnp.uint64)) + jnp.uint64(1),
+            U64_MAX)
+
+    def stage2_pages(carry, flat_cands):
+        """Re-compact candidates through a (STAGE2_H, w2) axis-0 sort and
+        append row pages while the next page's leading row has survivors."""
+        w2 = flat_cands.shape[0] // STAGE2_H
         r2 = max(1, min(STAGE2_H, PAGE // w2))
         n2 = STAGE2_H // r2
+        s2 = jax.lax.sort(flat_cands.reshape(STAGE2_H, w2), dimension=0)
 
-        def inner(p2, carry_s2):
-            carry, s2 = carry_s2
+        def iw_body(c):
+            p2, (carry, s2) = c
             cand = jax.lax.dynamic_slice(
                 s2, (p2 * r2, jnp.int32(0)), (r2, w2)).ravel()
-            return (_append_page(carry, cand, mh_arg, k=k, seed=seed), s2)
+            return (p2 + jnp.int32(1),
+                    (_append_page(carry, cand, mh_arg, k=k, seed=seed), s2))
 
-        def inner_cond(p2, s2):
+        def iw_cond(c):
+            p2, (_, s2) = c
             return (p2 < n2) & jnp.any(
                 jax.lax.dynamic_slice(
                     s2, (p2 * r2, jnp.int32(0)), (1, w2)) != U64_MAX)
+
+        _, (carry, _) = jax.lax.while_loop(
+            iw_cond, iw_body, (jnp.int32(0), (carry, s2)))
+        return carry
+
+    def run_two_stage(carry):
+        comp = xla_comp()
+        w1 = b // STAGE1_H
+        s1 = jax.lax.sort(comp.reshape(STAGE1_H, w1), dimension=0)
+        n1 = STAGE1_H // STAGE1_ROWS
 
         def outer(carry_p1):
             carry, p1 = carry_p1
             block = jax.lax.dynamic_slice(
                 s1, (p1 * STAGE1_ROWS, jnp.int32(0)), (STAGE1_ROWS, w1))
-            s2 = jax.lax.sort(block.reshape(STAGE2_H, w2), dimension=0)
-
-            def iw_body(c):
-                p2, cs2 = c
-                return p2 + jnp.int32(1), inner(p2, cs2)
-
-            _, (carry, _) = jax.lax.while_loop(
-                lambda c: inner_cond(c[0], c[1][1]),
-                iw_body, (jnp.int32(0), (carry, s2)))
+            carry = stage2_pages(carry, block.ravel())
             return carry, p1 + jnp.int32(1)
 
         def outer_cond(carry_p1):
@@ -253,12 +276,15 @@ def sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
                     s1, (p1 * STAGE1_ROWS, jnp.int32(0)),
                     (1, w1)) != U64_MAX)
 
-        (state4, spill, fill, below), _ = jax.lax.while_loop(
-            outer_cond, outer, (carry0, jnp.int32(0)))
-    else:
+        carry, _ = jax.lax.while_loop(outer_cond, outer,
+                                      (carry, jnp.int32(0)))
+        return carry
+
+    def run_small(carry):
+        comp = xla_comp()
         s1 = jax.lax.sort(comp)
         page = min(b, PAGE)
-        npages = b // page if b % page == 0 else (b + page - 1) // page
+        npages = (b + page - 1) // page
 
         def body(carry_p):
             carry, p = carry_p
@@ -271,8 +297,33 @@ def sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
             return (p < npages) & (
                 jax.lax.dynamic_slice(s1, (p * page,), (1,))[0] != U64_MAX)
 
-        (state4, spill, fill, below), _ = jax.lax.while_loop(
-            cond, body, (carry0, jnp.int32(0)))
+        carry, _ = jax.lax.while_loop(cond, body, (carry, jnp.int32(0)))
+        return carry
+
+    if use_kernel and two_stage and pallas_extract.supports(k, b):
+        # fused Pallas path: hash + prefilter + per-column selection run in
+        # one VMEM-resident kernel; the overflow flag (a column with more
+        # than ROWS_OUT survivors — cold state or extreme density) falls
+        # back in-graph to the exact XLA sort path.
+        v = jnp.where(
+            valid,
+            (batch_packed.astype(jnp.uint64) << jnp.uint64(1))
+            | batch_rc.astype(jnp.uint64),
+            U64_MAX)
+        cand, ovf = pallas_extract.extract_candidates(
+            v.astype(jnp.uint32),
+            (v >> jnp.uint64(32)).astype(jnp.uint32),
+            (thresh >> jnp.uint64(32)).astype(jnp.uint32),
+            thresh.astype(jnp.uint32),
+            k=k, seed=seed)
+        (state4, spill, fill, below) = jax.lax.cond(
+            ovf == 0,
+            lambda c: stage2_pages(c, cand),
+            run_two_stage, carry0)
+    elif two_stage:
+        (state4, spill, fill, below) = run_two_stage(carry0)
+    else:
+        (state4, spill, fill, below) = run_small(carry0)
 
     if has_max_hash:
         # scaled sketching needs a current below-count every step: flush

@@ -184,6 +184,29 @@ def murmur3_x64_u32_words(words, length: int, seed: int):
     return h1
 
 
+def packed_pair_to_u32_words(plo, phi, k: int):
+    """packed_to_u32_words for packed codes given as (lo, hi) u32 lanes.
+
+    Pure u32 arithmetic — usable inside Pallas kernels (no 64-bit types).
+    Every code's shift 2*(k-1-j) is even, so each code lives wholly in one
+    u32 half (k <= 31).
+    """
+    nwords = 2 * ((k + 7) // 8)
+    words = []
+    for w in range(nwords):
+        acc = jnp.zeros_like(plo)
+        for j in range(w * 4, min(k, w * 4 + 4)):
+            shift = 2 * (k - 1 - j)
+            if shift >= 32:
+                code = (phi >> U32(shift - 32)) & U32(3)
+            else:
+                code = (plo >> U32(shift)) & U32(3)
+            byte = (_BASE_LUT >> (code << U32(3))) & U32(0xFF)
+            acc = acc | (byte << U32(8 * (j - w * 4)))
+        words.append(acc)
+    return words
+
+
 def hash_packed_kmers_pair(packed, *, k: int, seed: int = 0):
     """(lo, hi) u32 hash lane pair for packed canonical k-mer codes."""
     if not 1 <= k <= 31:

@@ -26,9 +26,9 @@ from finch_tpu.ops.bottomk import U64_MAX
 
 
 @partial(jax.jit, static_argnames=("k", "seed", "has_max_hash", "mesh",
-                                   "axis"))
+                                   "axis", "use_kernel"))
 def _sharded_step(state, batch_packed, batch_rc, nvalid, max_hash,
-                  *, k, seed, has_max_hash, mesh, axis):
+                  *, k, seed, has_max_hash, mesh, axis, use_kernel=False):
     """state: (n, C) arrays sharded on axis 0; batch: (n, B) sharded on
     axis 0; nvalid: (n,) per-shard valid counts."""
 
@@ -36,7 +36,8 @@ def _sharded_step(state, batch_packed, batch_rc, nvalid, max_hash,
         st = jax.tree.map(lambda x: x[0], st)
         new_state, below = bottomk.sketch_step(
             st, pk[0], rc[0], nv[0], mh,
-            k=k, seed=seed, has_max_hash=has_max_hash)
+            k=k, seed=seed, has_max_hash=has_max_hash,
+            use_kernel=use_kernel)
         below = jax.lax.psum(below, axis)
         return (jax.tree.map(lambda x: x[None], new_state), below[None])
 
@@ -95,6 +96,7 @@ class ShardedSketchEngine:
         self.state = self._empty_state(self.capacity)
         self._mh = (jnp.uint64(self.max_hash) if self.max_hash is not None
                     else jnp.uint64(0))
+        self._use_kernel = bottomk.auto_use_kernel()
 
     def _empty_state(self, capacity):
         n = self.n
@@ -149,7 +151,8 @@ class ShardedSketchEngine:
             new_state, below = _sharded_step(
                 self.state, pk_d, rc_d, nv_d, self._mh,
                 k=self.params.k, seed=self.params.hash_seed,
-                has_max_hash=is_scaled, mesh=self.mesh, axis=self.axis)
+                has_max_hash=is_scaled, mesh=self.mesh, axis=self.axis,
+                use_kernel=self._use_kernel)
             if not is_scaled:
                 self.state = new_state
                 return
