@@ -39,13 +39,30 @@ def sketch_stream(source, name: str, sketch_params: SketchParams,
                         batch_size=batch_size)
     parse_m = get_meter("parse_kmers")
     engine_m = get_meter("engine_kmers")
-    parse_m.start()
-    for packed, rc in reader:
-        parse_m.stop(len(packed))
+
+    # one-batch prefetch pipeline: the C++ parser releases the GIL, so the
+    # next batch parses while the engine folds the current one (the device
+    # dispatch is async as well) — host parse and TPU compute overlap
+    def batches():
+        it = iter(reader)
+        import concurrent.futures as cf
+
+        with cf.ThreadPoolExecutor(max_workers=1) as pool:
+            parse_m.start()
+            fut = pool.submit(next, it, None)
+            while True:
+                batch = fut.result()
+                if batch is None:
+                    parse_m.stop(0)
+                    return
+                parse_m.stop(len(batch[0]))
+                parse_m.start()
+                fut = pool.submit(next, it, None)
+                yield batch
+
+    for packed, rc in batches():
         with engine_m.timed(len(packed)):
             engine.update(packed, rc)
-        parse_m.start()
-    parse_m.stop(0)
 
     # FASTA disables filtering unless explicitly requested (lib.rs:71-76)
     if filter_params.filter_on is None:
@@ -85,17 +102,30 @@ def sketch_bytes(data: bytes, name: str, sketch_params: SketchParams,
 
 def sketch_files(filenames: Sequence[str], sketch_params: SketchParams,
                  filters: FilterParams, backend: str = "auto",
-                 batch_size: int = 1 << 21) -> List[Sketch]:
-    """Sketch many files (lib.rs:29-49). '-' reads stdin."""
-    sketches = []
-    for filename in filenames:
+                 batch_size: int = 1 << 21,
+                 max_workers: Optional[int] = None) -> List[Sketch]:
+    """Sketch many files (lib.rs:29-49). '-' reads stdin.
+
+    Files sketch concurrently in a thread pool — the analog of the
+    reference's rayon par_iter over filenames (lib.rs:34-47): the C++
+    parser releases the GIL and device dispatch is async, so multi-file
+    workloads scale with host cores. Results keep input order.
+    """
+    import concurrent.futures as cf
+    import os
+
+    def one(filename: str) -> Sketch:
         if filename == "-":
             data = sys.stdin.buffer.read()
-            sketches.append(sketch_stream(
-                data, filename, sketch_params, filters, backend=backend,
-                batch_size=batch_size))
-        else:
-            sketches.append(sketch_stream(
-                filename, filename, sketch_params, filters, backend=backend,
-                batch_size=batch_size))
-    return sketches
+            return sketch_stream(data, filename, sketch_params, filters,
+                                 backend=backend, batch_size=batch_size)
+        return sketch_stream(filename, filename, sketch_params, filters,
+                             backend=backend, batch_size=batch_size)
+
+    if len(filenames) <= 1:
+        return [one(f) for f in filenames]
+    workers = max_workers or min(len(filenames), os.cpu_count() or 1)
+    if workers <= 1 or "-" in filenames:  # stdin must stay serial
+        return [one(f) for f in filenames]
+    with cf.ThreadPoolExecutor(max_workers=workers) as pool:
+        return list(pool.map(one, filenames))

@@ -4,7 +4,9 @@ The reference has no tracing/metrics subsystem (README.md:112-121 documents
 external profiling only); for a production TPU deployment we need k-mers/s
 per stage and device-trace capture as first-class features (SURVEY §5).
 
-Meters are process-local and cheap (two floats + a counter per stage).
+Meters are process-local and cheap (two floats + a counter per stage);
+they are best-effort under concurrency — parallel streams sharing a stage
+meter overlap their intervals, so treat rates as indicative, not exact.
 Enable wall-clock reporting with FINCH_TPU_METRICS=1; capture an XLA/JAX
 device trace for a region with:
 
