@@ -76,20 +76,34 @@ def _extract_kernel(k: int, seed: int, nchunks: int,
     th = thi_ref[0, 0]
     tl = tlo_ref[0, 0]
 
-    def body(slo, shi, olo, ohi, sem_i0, sem_i1, sem_o0, sem_o1):
-        def chunk(ci, ovf):
+    def body(slo, shi, olo, ohi, sem_in, sem_o0, sem_o1):
+        def start_in(ci, slot):
             off = ci * jnp.int32(COLH)
-            cin0 = pltpu.make_async_copy(
-                vlo_hbm.at[pl.ds(off, COLH), :], slo, sem_i0)
-            cin1 = pltpu.make_async_copy(
-                vhi_hbm.at[pl.ds(off, COLH), :], shi, sem_i1)
-            cin0.start()
-            cin1.start()
-            cin0.wait()
-            cin1.wait()
+            pltpu.make_async_copy(
+                vlo_hbm.at[pl.ds(off, COLH), :], slo.at[slot], sem_in.at[slot, jnp.int32(0)]).start()
+            pltpu.make_async_copy(
+                vhi_hbm.at[pl.ds(off, COLH), :], shi.at[slot], sem_in.at[slot, jnp.int32(1)]).start()
 
-            vlo = slo[:]
-            vhi = shi[:]
+        def wait_in(ci, slot):
+            off = ci * jnp.int32(COLH)
+            pltpu.make_async_copy(
+                vlo_hbm.at[pl.ds(off, COLH), :], slo.at[slot], sem_in.at[slot, jnp.int32(0)]).wait()
+            pltpu.make_async_copy(
+                vhi_hbm.at[pl.ds(off, COLH), :], shi.at[slot], sem_in.at[slot, jnp.int32(1)]).wait()
+
+        start_in(jnp.int32(0), jnp.int32(0))
+
+        def chunk(ci, ovf):
+            slot = jax.lax.rem(ci, jnp.int32(2))
+            nslot = jax.lax.rem(ci + jnp.int32(1), jnp.int32(2))
+            wait_in(ci, slot)
+
+            @pl.when(ci + jnp.int32(1) < jnp.int32(nchunks))
+            def _():
+                start_in(ci + jnp.int32(1), nslot)
+
+            vlo = slo[slot]
+            vhi = shi[slot]
             is_pad = (vhi == U32_MAX) & (vlo == U32_MAX)
             plo = (vlo >> U32(1)) | (vhi << U32(31))
             phi = vhi >> U32(1)
@@ -141,12 +155,11 @@ def _extract_kernel(k: int, seed: int, nchunks: int,
 
     pl.run_scoped(
         body,
-        slo=pltpu.VMEM((COLH, CHUNK_W), jnp.uint32),
-        shi=pltpu.VMEM((COLH, CHUNK_W), jnp.uint32),
+        slo=pltpu.VMEM((2, COLH, CHUNK_W), jnp.uint32),
+        shi=pltpu.VMEM((2, COLH, CHUNK_W), jnp.uint32),
         olo=pltpu.VMEM((ROWS_OUT, CHUNK_W), jnp.uint32),
         ohi=pltpu.VMEM((ROWS_OUT, CHUNK_W), jnp.uint32),
-        sem_i0=pltpu.SemaphoreType.DMA,
-        sem_i1=pltpu.SemaphoreType.DMA,
+        sem_in=pltpu.SemaphoreType.DMA((2, 2)),
         sem_o0=pltpu.SemaphoreType.DMA,
         sem_o1=pltpu.SemaphoreType.DMA,
     )
