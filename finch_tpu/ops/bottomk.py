@@ -326,12 +326,17 @@ def sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
         (state4, spill, fill, below) = run_small(carry0)
 
     if has_max_hash:
-        # scaled sketching needs a current below-count every step: flush
-        nst, nb = _flush(state4, spill, mh_arg, k=k, seed=seed)
-        state4 = nst
-        below = jnp.maximum(below, nb.astype(jnp.uint32))
-        spill = jnp.full_like(spill, U64_MAX)
-        fill = jnp.zeros_like(fill)
+        # scaled sketching needs a below-count every step for the driver's
+        # grow rail. Instead of flushing the spill each step, return the
+        # conservative upper bound (distinct <= max_hash in the state) +
+        # (spill occupancy): if the bound stays <= capacity - size, the
+        # eventual flush cannot truncate a below-threshold hash, so
+        # exactness is preserved while merges amortize as in the mash path.
+        nsh, nsc = state4[0], state4[1]
+        below_state = jnp.sum(
+            ((nsh <= mh_arg) & (nsc > 0)).astype(jnp.uint32))
+        below = jnp.maximum(
+            below, below_state + fill[0].astype(jnp.uint32))
     else:
         below = below0
 
@@ -352,19 +357,20 @@ def flush_state(state, max_hash, *, k: int, seed: int):
 def grow_state(state, new_capacity_template):
     """Copy state into a larger capacity buffer (scaled scheme growth).
 
-    Only grows the 4 sorted arrays; the spill must be empty (the scaled
-    path flushes every step, and growth only happens on the scaled path).
-    """
+    Grows the 4 sorted arrays and carries the spill contents over (the
+    template's spill may be larger; spill_capacity is monotone in
+    capacity, so the old contents always fit)."""
     nh, nc, ne, npk, nspill, nfill = new_capacity_template
-    sh, sc, se, spk, _, _ = state
+    sh, sc, se, spk, spill, fill = state
     n = sh.shape[0]
+    m = spill.shape[0]
     return (
         nh.at[:n].set(sh),
         nc.at[:n].set(sc),
         ne.at[:n].set(se),
         npk.at[:n].set(spk),
-        nspill,
-        nfill,
+        nspill.at[:m].set(spill),
+        fill,
     )
 
 

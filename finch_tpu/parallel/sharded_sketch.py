@@ -168,9 +168,12 @@ class ShardedSketchEngine:
                     [np.asarray(o), np.asarray(t)[:, self.capacity:]],
                     axis=1), self._sharding)
                 for o, t in zip(old[:4], tmpl[:4])]
-            # the scaled path flushes every step, so the spill is empty:
-            # take the template's (possibly resized) spill and zero fill
-            self.state = (*grown, tmpl[4], tmpl[5])
+            # carry spill contents into the (possibly larger) new spill
+            old_sp = np.asarray(old[4])
+            new_sp = np.array(np.asarray(tmpl[4]))  # writable copy
+            new_sp[:, :old_sp.shape[1]] = old_sp
+            self.state = (*grown, jax.device_put(new_sp, self._sharding),
+                          old[5])
             self.capacity = new_cap
 
     def finalize(self):

@@ -196,3 +196,53 @@ def test_hybrid_engine_matches_numpy():
         a = [(k.hash, k.kmer, k.count, k.extra_count) for k in ref.finalize()]
         b = [(k.hash, k.kmer, k.count, k.extra_count) for k in hyb.finalize()]
         assert a == b
+
+
+def test_spill_flush_boundary_and_duplicates():
+    """JaxEngine crosses spill-flush boundaries and digests duplicate-heavy
+    batches exactly (ops/bottomk.py spill machinery)."""
+    import numpy as np
+
+    from finch_tpu.models.engine import JaxEngine, NumpyEngine
+    from finch_tpu.models.params import SketchParams
+
+    params = SketchParams.mash(kmers_to_sketch=32, final_size=32)
+    ref = NumpyEngine(params)
+    jx = JaxEngine(params, batch_size=4096)
+    # tiny capacity -> tiny spill; many batches force repeated flushes
+    rng = np.random.default_rng(5)
+    for i in range(20):
+        if i % 3 == 2:  # duplicate-heavy batch (poly-run analog)
+            pk = np.full(3000, rng.integers(0, 4 ** 21), dtype=np.uint64)
+            rc = np.zeros(3000, dtype=np.uint8)
+        else:
+            pk = rng.integers(0, 4 ** 21, size=3000, dtype=np.uint64)
+            rc = rng.integers(0, 2, size=3000, dtype=np.uint8)
+        ref.update(pk, rc)
+        jx.update(pk, rc)
+    a = [(x.hash, x.count, x.extra_count) for x in ref.finalize()]
+    b = [(x.hash, x.count, x.extra_count) for x in jx.finalize()]
+    assert a == b
+
+
+def test_scaled_below_bound_grow():
+    """Scaled capacity growth with the spill-occupancy upper bound stays
+    exact across many growth events."""
+    import numpy as np
+
+    from finch_tpu.models.engine import JaxEngine, NumpyEngine
+    from finch_tpu.models.params import SketchParams
+
+    # scale admitting ~25% of hashes forces repeated growth
+    params = SketchParams.scaled(scale=0.25, kmers_to_sketch=8)
+    ref = NumpyEngine(params)
+    jx = JaxEngine(params, batch_size=4096)
+    rng = np.random.default_rng(9)
+    for _ in range(6):
+        pk = rng.integers(0, 4 ** 21, size=5000, dtype=np.uint64)
+        rc = rng.integers(0, 2, size=5000, dtype=np.uint8)
+        ref.update(pk, rc)
+        jx.update(pk, rc)
+    a = [(x.hash, x.count, x.extra_count) for x in ref.finalize()]
+    b = [(x.hash, x.count, x.extra_count) for x in jx.finalize()]
+    assert a == b
