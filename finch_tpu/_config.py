@@ -25,6 +25,21 @@ def configure() -> None:
         platform = os.environ.get("FINCH_TPU_PLATFORM")
         if platform:
             jax.config.update("jax_platforms", platform)
+        # persistent compilation cache: the sketch pipeline's big sorts
+        # compile slowly; CLI invocations reuse compiled executables across
+        # processes. Disable with FINCH_TPU_JAX_CACHE=0.
+        cache = os.environ.get(
+            "FINCH_TPU_JAX_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "finch_tpu",
+                         "jax"))
+        if cache not in ("0", ""):
+            try:
+                os.makedirs(cache, exist_ok=True)
+                jax.config.update("jax_compilation_cache_dir", cache)
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 1.0)
+            except Exception:  # pragma: no cover - cache is best-effort
+                pass
     except ImportError:  # pragma: no cover - jax is a hard dep in practice
         pass
     _configured = True

@@ -43,21 +43,25 @@ def sketch_stream(source, name: str, sketch_params: SketchParams,
     # one-batch prefetch pipeline: the C++ parser releases the GIL, so the
     # next batch parses while the engine folds the current one (the device
     # dispatch is async as well) — host parse and TPU compute overlap
+    def timed_next(it):
+        # timed inside the worker so the meter sees parse time only, not
+        # the consumer's engine time
+        parse_m.start()
+        batch = next(it, None)
+        parse_m.stop(len(batch[0]) if batch is not None else 0)
+        return batch
+
     def batches():
         it = iter(reader)
         import concurrent.futures as cf
 
         with cf.ThreadPoolExecutor(max_workers=1) as pool:
-            parse_m.start()
-            fut = pool.submit(next, it, None)
+            fut = pool.submit(timed_next, it)
             while True:
                 batch = fut.result()
                 if batch is None:
-                    parse_m.stop(0)
                     return
-                parse_m.stop(len(batch[0]))
-                parse_m.start()
-                fut = pool.submit(next, it, None)
+                fut = pool.submit(timed_next, it)
                 yield batch
 
     for packed, rc in batches():
