@@ -351,7 +351,17 @@ def parse_mash_files(args) -> List[Sketch]:
 
 def calc_sketch_distances(query_sketches, ref_sketches, old_mode: bool,
                           max_distance: float) -> List[SketchDistance]:
-    """main.rs:315-334 (skips query==ref by full struct equality)."""
+    """main.rs:315-334 (skips query==ref by full struct equality).
+
+    Large workloads batch the integer stats through the device engine
+    (parallel/sharded_dist.py bitonic-merge tiles) and apply the same f64
+    formula on host; output order and values match the serial loop.
+    """
+    npairs = len(query_sketches) * len(ref_sketches)
+    if (not old_mode and npairs >= 4096
+            and _uniform_dist_params(query_sketches, ref_sketches)):
+        return _calc_distances_batched(query_sketches, ref_sketches,
+                                       max_distance)
     distances = []
     for ref_sketch in ref_sketches:
         for query_sketch in query_sketches:
@@ -360,6 +370,50 @@ def calc_sketch_distances(query_sketches, ref_sketches, old_mode: bool,
             d = distance(query_sketch, ref_sketch, old_mode)
             if d.mash_distance <= max_distance:
                 distances.append(d)
+    return distances
+
+
+def _uniform_dist_params(queries, refs) -> bool:
+    infos = {s.sketch_params.hash_info() for s in queries}
+    infos |= {s.sketch_params.hash_info() for s in refs}
+    ks = {s.sketch_params.k for s in queries}
+    return len(infos) == 1 and len(ks) == 1
+
+
+def _calc_distances_batched(queries, refs,
+                            max_distance: float) -> List[SketchDistance]:
+    import math
+
+    from finch_tpu.parallel import all_vs_all_arrays
+
+    scale = queries[0].sketch_params.hash_info()[3]
+    scale = scale if scale is not None else 0.0
+    k = float(queries[0].sketch_params.k)
+    common, istat, jstat = all_vs_all_arrays(
+        [q.hash_array() for q in queries],
+        [r.hash_array() for r in refs], scale=scale)
+    distances = []
+    for jr, ref_sketch in enumerate(refs):
+        for iq, query_sketch in enumerate(queries):
+            if (query_sketch.name == ref_sketch.name
+                    and query_sketch == ref_sketch):
+                continue
+            c = int(common[iq, jr])
+            jj = int(jstat[iq, jr])
+            total = int(istat[iq, jr]) - c + jj
+            containment = 0.0 if jj == 0 else c / jj
+            jaccard = 1.0 if total == 0 else c / total
+            if jaccard == 0.0:
+                mash = 1.0
+            else:
+                mash = min(1.0, max(
+                    0.0, -1.0 * math.log((2.0 * jaccard) / (1.0 + jaccard))
+                    / k))
+            if mash <= max_distance:
+                distances.append(SketchDistance(
+                    containment=containment, jaccard=jaccard,
+                    mash_distance=mash, common_hashes=c, total_hashes=total,
+                    query=query_sketch.name, reference=ref_sketch.name))
     return distances
 
 

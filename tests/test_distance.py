@@ -112,3 +112,34 @@ def test_distance_scaled_min_scale():
     r_mash = _mk_sketch("r", [5, 10], pm)
     d = distance(s_mash, r_mash)
     assert (d.common_hashes, d.total_hashes) == (2, 2)  # no tail
+
+
+def test_batched_cli_distances_match_serial():
+    """cli.calc_sketch_distances batched (device-tiled) path == serial loop."""
+    import numpy as np
+
+    from finch_tpu.cli import calc_sketch_distances, _calc_distances_batched
+    from finch_tpu.core.sketch import KmerCount, Sketch
+    from finch_tpu.models.params import FilterParams, SketchParams
+
+    rng = np.random.default_rng(2)
+
+    def mk(name, n):
+        hashes = np.sort(rng.choice(2 ** 40, size=n, replace=False)
+                         .astype(np.uint64))
+        kcs = [KmerCount(hash=int(h), kmer=b"A" * 21, count=1, extra_count=0)
+               for h in hashes]
+        return Sketch(name=name, seq_length=0, num_valid_kmers=0, comment="",
+                      hashes=kcs, filter_params=FilterParams(),
+                      sketch_params=SketchParams.mash(kmers_to_sketch=n,
+                                                      final_size=n))
+
+    queries = [mk(f"q{i}", 64) for i in range(4)]
+    refs = [mk(f"r{i}", 64) for i in range(5)] + [queries[0]]
+
+    serial = calc_sketch_distances(queries, refs, False, 1.0)
+    batched = _calc_distances_batched(queries, refs, 1.0)
+    assert [(d.query, d.reference, d.common_hashes, d.total_hashes,
+             d.containment, d.jaccard, d.mash_distance) for d in serial] == \
+           [(d.query, d.reference, d.common_hashes, d.total_hashes,
+             d.containment, d.jaccard, d.mash_distance) for d in batched]
