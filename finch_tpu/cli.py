@@ -350,15 +350,17 @@ def parse_mash_files(args) -> List[Sketch]:
 
 
 def calc_sketch_distances(query_sketches, ref_sketches, old_mode: bool,
-                          max_distance: float) -> List[SketchDistance]:
+                          max_distance: float,
+                          use_device: bool = True) -> List[SketchDistance]:
     """main.rs:315-334 (skips query==ref by full struct equality).
 
-    Large workloads batch the integer stats through the device engine
+    When use_device (the user did not force --backend numpy), large
+    workloads batch the integer stats through the device engine
     (parallel/sharded_dist.py bitonic-merge tiles) and apply the same f64
     formula on host; output order and values match the serial loop.
     """
     npairs = len(query_sketches) * len(ref_sketches)
-    if (not old_mode and npairs >= 4096
+    if (not old_mode and npairs >= 4096 and use_device
             and _uniform_dist_params(query_sketches, ref_sketches)):
         return _calc_distances_batched(query_sketches, ref_sketches,
                                        max_distance)
@@ -377,13 +379,18 @@ def _uniform_dist_params(queries, refs) -> bool:
     infos = {s.sketch_params.hash_info() for s in queries}
     infos |= {s.sketch_params.hash_info() for s in refs}
     ks = {s.sketch_params.k for s in queries}
-    return len(infos) == 1 and len(ks) == 1
+    if len(infos) != 1 or len(ks) != 1:
+        return False
+    # the device engine uses u64::MAX as its pad sentinel; a (vanishingly
+    # rare) genuine hash there must take the serial path for exactness
+    u64_max = 0xFFFFFFFFFFFFFFFF
+    return all(s.hashes[-1].hash != u64_max
+               for s in (*queries, *refs) if s.hashes)
 
 
 def _calc_distances_batched(queries, refs,
                             max_distance: float) -> List[SketchDistance]:
-    import math
-
+    from finch_tpu.core.distance import distance_from_stats
     from finch_tpu.parallel import all_vs_all_arrays
 
     scale = queries[0].sketch_params.hash_info()[3]
@@ -398,22 +405,11 @@ def _calc_distances_batched(queries, refs,
             if (query_sketch.name == ref_sketch.name
                     and query_sketch == ref_sketch):
                 continue
-            c = int(common[iq, jr])
-            jj = int(jstat[iq, jr])
-            total = int(istat[iq, jr]) - c + jj
-            containment = 0.0 if jj == 0 else c / jj
-            jaccard = 1.0 if total == 0 else c / total
-            if jaccard == 0.0:
-                mash = 1.0
-            else:
-                mash = min(1.0, max(
-                    0.0, -1.0 * math.log((2.0 * jaccard) / (1.0 + jaccard))
-                    / k))
-            if mash <= max_distance:
-                distances.append(SketchDistance(
-                    containment=containment, jaccard=jaccard,
-                    mash_distance=mash, common_hashes=c, total_hashes=total,
-                    query=query_sketch.name, reference=ref_sketch.name))
+            d = distance_from_stats(
+                int(common[iq, jr]), int(istat[iq, jr]),
+                int(jstat[iq, jr]), k, query_sketch.name, ref_sketch.name)
+            if d.mash_distance <= max_distance:
+                distances.append(d)
     return distances
 
 
@@ -521,7 +517,8 @@ def run(argv=None) -> None:
                 raise CliError("No sketches present!")
             query_sketches = [all_sketches[0]]
         distances = calc_sketch_distances(
-            query_sketches, all_sketches, args.old_dist_mode, max_dist)
+            query_sketches, all_sketches, args.old_dist_mode, max_dist,
+            use_device=args.backend != "numpy")
         output_to(lambda w: w.write(_dist_json_bytes(distances)),
                   args.output_file, ".json")
 

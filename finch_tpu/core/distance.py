@@ -113,6 +113,34 @@ def old_distance_arrays(query: np.ndarray, ref: np.ndarray):
     return containment, jaccard, common, total
 
 
+def mash_distance_from_jaccard(jaccard: float, k: float) -> float:
+    """clamp(-ln(2j/(1+j))/k, 0, 1) — distance.rs:37-41."""
+    if jaccard == 0.0:
+        m = math.inf
+    else:
+        m = -1.0 * math.log((2.0 * jaccard) / (1.0 + jaccard)) / k
+    return min(1.0, max(0.0, m))
+
+
+def distance_from_stats(common: int, i: int, j: int, k: float,
+                        query: str, reference: str) -> SketchDistance:
+    """Build a SketchDistance from the integer pointer-merge end state —
+    the single f64 formula shared by the serial and device-batched paths
+    (distance.rs:29-47)."""
+    containment = 0.0 if j == 0 else common / j
+    total = i - common + j
+    jaccard = 1.0 if total == 0 else common / total
+    return SketchDistance(
+        containment=containment,
+        jaccard=jaccard,
+        mash_distance=mash_distance_from_jaccard(jaccard, k),
+        common_hashes=common,
+        total_hashes=total,
+        query=query,
+        reference=reference,
+    )
+
+
 def distance(query_sketch: Sketch, ref_sketch: Sketch,
              old_mode: bool = False) -> SketchDistance:
     """distance.rs:9-47."""
@@ -129,15 +157,10 @@ def distance(query_sketch: Sketch, ref_sketch: Sketch,
             query_sketch.hash_array(), ref_sketch.hash_array(), min_scale)
 
     k = float(query_sketch.sketch_params.k)
-    if jac == 0.0:
-        mash_distance = math.inf
-    else:
-        mash_distance = -1.0 * math.log((2.0 * jac) / (1.0 + jac)) / k
-    mash_distance = min(1.0, max(0.0, mash_distance))
     return SketchDistance(
         containment=cont,
         jaccard=jac,
-        mash_distance=mash_distance,
+        mash_distance=mash_distance_from_jaccard(jac, k),
         common_hashes=common,
         total_hashes=total,
         query=query_sketch.name,
