@@ -254,7 +254,12 @@ class Multisketch:
         return len(self.sketches)
 
     def __iter__(self):
-        return (Sketch("", _core=s) for s in list(self.sketches))
+        # the pyo3 bindings clone on access (python.rs:149); returning live
+        # references would alias mutations into the collection
+        import copy as _copy
+
+        return (Sketch("", _core=_copy.deepcopy(s))
+                for s in list(self.sketches))
 
     def _index(self, key) -> int:
         if isinstance(key, int):
@@ -274,7 +279,11 @@ class Multisketch:
         raise FinchError("key is not a string or integer")
 
     def __getitem__(self, key) -> Sketch:
-        return Sketch("", _core=self.sketches[self._index(key)])
+        import copy as _copy
+
+        # clone like the reference bindings (python.rs:156)
+        return Sketch(
+            "", _core=_copy.deepcopy(self.sketches[self._index(key)]))
 
     def __delitem__(self, key) -> None:
         del self.sketches[self._index(key)]
@@ -291,7 +300,10 @@ class Multisketch:
             raise FinchError(f"Could not create {filename}")
 
     def add(self, sketch: Sketch) -> None:
-        self.sketches.append(sketch.s)
+        import copy as _copy
+
+        # clone like the reference bindings (python.rs:196)
+        self.sketches.append(_copy.deepcopy(sketch.s))
 
     def best_match(self, query: Sketch) -> Tuple[int, Sketch]:
         """Max-containment member (python.rs:202-216)."""
@@ -302,7 +314,10 @@ class Multisketch:
             if d.containment > max_containment:
                 max_containment = d.containment
                 best = ix
-        return (best, Sketch("", _core=self.sketches[best]))
+        import copy as _copy
+
+        # clone like the reference bindings (python.rs:216)
+        return (best, Sketch("", _core=_copy.deepcopy(self.sketches[best])))
 
     def filter_to_matches(self, query: Sketch, threshold: float) -> None:
         """python.rs:223-234."""

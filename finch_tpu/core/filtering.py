@@ -11,9 +11,8 @@ heavy reduction work happened on-device before this point.
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Optional
 
-import numpy as np
 
 from finch_tpu.core.statistics import hist
 

@@ -35,6 +35,8 @@ class MessageReader:
         n_minus_1 = struct.unpack_from("<I", data, 0)[0]
         nseg = n_minus_1 + 1
         header_words = (nseg // 2) + 1
+        if len(data) < 4 + 4 * nseg:
+            raise CapnpError("truncated capnp segment table")
         sizes = struct.unpack_from(f"<{nseg}I", data, 4)
         self.segments: List[memoryview] = []
         off = header_words * WORD
@@ -88,14 +90,14 @@ def read_pointer(segments, seg_id: int, word_ofs: int):
     # after the pointer
     offset = _sign30((ptr >> 2) & ((1 << 30) - 1))
     target = word_ofs + 1 + offset
-    return _decode_tagged(segments, seg_id, target, ptr, tagged_at_target=True)
+    return _decode_tagged(segments, seg_id, target, ptr)
 
 
 def _sign30(v: int) -> int:
     return v - (1 << 30) if v & (1 << 29) else v
 
 
-def _decode_tagged(segments, seg_id, target, tag, tagged_at_target=False):
+def _decode_tagged(segments, seg_id, target, tag):
     kind = tag & 3
     if kind == 0:  # struct
         data_words = (tag >> 32) & 0xFFFF
@@ -260,15 +262,24 @@ class MessageBuilder:
     def _put_word(self, word_ofs: int, value: int) -> None:
         struct.pack_into("<Q", self.buf, word_ofs * WORD, value)
 
+    @staticmethod
+    def _check_offset(offset: int) -> None:
+        # single-segment writer: a pointer offset is a signed 30-bit word
+        # count; fail loudly instead of silently wrapping past ~4 GiB
+        if not -(1 << 29) <= offset < (1 << 29):
+            raise CapnpError("message exceeds single-segment pointer range")
+
     def write_struct_ptr(self, ptr_ofs: int, target_ofs: int,
                          data_words: int, ptr_words: int) -> None:
         offset = target_ofs - (ptr_ofs + 1)
+        self._check_offset(offset)
         self._put_word(ptr_ofs, (offset & ((1 << 30) - 1)) << 2
                        | (data_words << 32) | (ptr_words << 48))
 
     def write_list_ptr(self, ptr_ofs: int, target_ofs: int, elem_size: int,
                        count: int) -> None:
         offset = target_ofs - (ptr_ofs + 1)
+        self._check_offset(offset)
         self._put_word(ptr_ofs, 1 | ((offset & ((1 << 30) - 1)) << 2)
                        | (elem_size << 32) | (count << 35))
 

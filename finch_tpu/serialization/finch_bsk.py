@@ -79,8 +79,11 @@ def write_finch_file(sketches: List[Sketch]) -> bytes:
         for kc, hb in zip(sketch.hashes, hashes):
             hb.set("Q", 0, kc.hash)
             hb.set_data(0, kc.kmer)
-            hb.set("I", 2, kc.count)
-            hb.set("I", 3, kc.extra_count)
+            # counts are u32 in the schema; saturate like the sketcher's
+            # saturating_add (mash.rs:47-49) instead of crashing on
+            # merged counts past u32::MAX
+            hb.set("I", 2, min(kc.count, U32_MAX))
+            hb.set("I", 3, min(kc.extra_count, U32_MAX))
             if kc.label is not None:
                 hb.set_data(1, kc.label)
 
@@ -111,13 +114,15 @@ def read_finch_file(data: bytes) -> List[Sketch]:
         hl = cs.get_ptr(2)
         if hl is not None:
             for ch in hl.structs():
+                # presence (has_label), not truthiness: an empty-but-
+                # present Data field round-trips as b"" (mod.rs:178-182)
                 label = ch.get_data(1)
                 hashes.append(KmerCount(
                     hash=ch.get_u64(0),
                     kmer=ch.get_data(0) or b"",
                     count=ch.get_u32(2),
                     extra_count=ch.get_u32(3),
-                    label=label if label else None,
+                    label=label,
                 ))
         sp = cs.get_ptr(4)
         sketch_params = (_get_sketch_params(sp) if sp is not None
@@ -134,7 +139,12 @@ def read_finch_file(data: bytes) -> List[Sketch]:
                 strand_filter=fpr.get_f64(3),
             )
         else:
-            filter_params = FilterParams()
+            # an absent filterParams struct decodes as all-zero fields in
+            # the reference: low=0 -> None, high=0 -> Some(0)
+            # (mod.rs:197-204)
+            filter_params = FilterParams(filter_on=False,
+                                         abun_filter=(None, 0),
+                                         err_filter=0.0, strand_filter=0.0)
         sketches.append(Sketch(
             name=cs.get_text(0) or "",
             seq_length=cs.get_u64(0),

@@ -70,7 +70,8 @@ def multisketch_to_json_bytes(sketches: List[Sketch]) -> bytes:
     parts.append('"alphabet":"ACGT"')
     parts.append('"preserveCase":false')
     parts.append('"canonical":true')
-    parts.append('"sketchSize":' + str(params.expected_size()))
+    # reference truncates with `expected_size() as u32` (json.rs:211)
+    parts.append('"sketchSize":' + str(params.expected_size() & 0xFFFFFFFF))
     parts.append('"hashType":' + _jstr(hash_type))
     parts.append('"hashBits":' + str(hash_bits))
     parts.append('"hashSeed":' + str(hash_seed))

@@ -115,3 +115,27 @@ def test_format_f64():
     assert format_f64(0.3333333333333333) == "0.3333333333333333"
     assert format_f64(1e-18) == "1e-18"
     assert format_f64(1e16) == "1e16"
+
+
+def test_bsk_empty_label_and_missing_filterparams_quirks():
+    """b'' labels round-trip as present-but-empty (mod.rs:178-182), and
+    count saturation matches the sketcher's saturating u32 adds."""
+    from finch_tpu.core.sketch import KmerCount, Sketch
+    from finch_tpu.models.params import FilterParams, SketchParams
+    from finch_tpu.serialization.finch_bsk import (read_finch_file,
+                                                   write_finch_file)
+
+    s = Sketch(
+        name="x", seq_length=10, num_valid_kmers=5, comment="",
+        hashes=[
+            KmerCount(hash=1, kmer=b"A", count=2, extra_count=1, label=b""),
+            KmerCount(hash=2, kmer=b"C", count=2 ** 40, extra_count=3,
+                      label=None),
+        ],
+        filter_params=FilterParams(),
+        sketch_params=SketchParams.mash(kmers_to_sketch=4, final_size=4),
+    )
+    [back] = read_finch_file(write_finch_file([s]))
+    assert back.hashes[0].label == b""
+    assert back.hashes[1].label is None
+    assert back.hashes[1].count == 0xFFFFFFFF  # saturated, not crashed
