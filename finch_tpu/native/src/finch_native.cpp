@@ -350,7 +350,12 @@ extern "C" int fn_next_batch(void* h, uint32_t k, int canonical, uint64_t cap,
     if (p->cur >= p->fill) {
       if (!refill(p)) break;  // EOF or error
     }
-    // Fast path: bulk-process sequence bytes.
+    // Fast path: bulk-process sequence bytes, span by span. memchr (glibc
+    // SIMD) finds the next newline; within a line the inner loop is
+    // branch-free (conditional moves + unconditional stores with a
+    // predicated index bump). Intra-line whitespace — which normalize
+    // REMOVES (the k-mer window spans it) — is rare, so the branchless
+    // pass just detects it and redoes the span with exact semantics.
     if (p->state == P_FASTA_SEQ || p->state == P_FASTQ_SEQ) {
       uint64_t i = p->cur;
       const uint64_t end = p->fill;
@@ -362,8 +367,7 @@ extern "C" int fn_next_batch(void* h, uint32_t k, int canonical, uint64_t cap,
       const bool is_fasta = (p->state == P_FASTA_SEQ);
 
       while (i < end && n < cap) {
-        uint8_t b = p->buf[i];
-        if (is_fasta && line_start && b == '>') {
+        if (is_fasta && line_start && p->buf[i] == '>') {
           // record boundary
           p->fwd = fwd; p->rev = rev; p->vlen = vlen;
           p->rec_raw = rec_raw; p->rec_trail_ws = trail;
@@ -374,38 +378,88 @@ extern "C" int fn_next_batch(void* h, uint32_t k, int canonical, uint64_t cap,
           p->at_line_start = false;
           goto outer_continue;
         }
-        if (!is_fasta && b == '\n') {
-          // FASTQ sequence line ends
-          p->fwd = fwd; p->rev = rev; p->vlen = vlen;
-          p->rec_raw = rec_raw; p->rec_trail_ws = trail;
-          p->total_kmers = kmers;
-          p->fq_seq_len = rec_raw;  // seq line has no internal ws counted raw
-          p->state = P_FASTQ_PLUS;
-          p->cur = i + 1;
-          p->at_line_start = true;
-          goto outer_continue;
-        }
-        i++;
-        line_start = (b == '\n');
-        uint8_t cls = BYTE_CLASS[b];
-        if (cls < 4) {
-          rec_raw++; trail = 0;
-          fwd = ((fwd << 2) | cls) & mask;
-          rev = (rev >> 2) | (uint64_t(3 - cls) << rshift);
-          if (++vlen >= k) {
-            if (canonical) {
-              if (fwd < rev) { out_kmers[n] = fwd; out_rc[n] = 0; }
-              else           { out_kmers[n] = rev; out_rc[n] = 1; }
-            } else {
-              out_kmers[n] = fwd; out_rc[n] = 0;
-            }
-            n++; kmers++;
+
+        const uint8_t* nlp =
+            (const uint8_t*)memchr(p->buf + i, '\n', end - i);
+        const uint64_t span_end = nlp ? (uint64_t)(nlp - p->buf) : end;
+        const uint64_t budget = cap - n;
+        const uint64_t lim =
+            (span_end - i > budget) ? i + budget : span_end;
+
+        if (lim > i) {
+          const uint64_t save_fwd = fwd, save_rev = rev;
+          const uint32_t save_vlen = vlen;
+          const uint64_t save_n = n, save_kmers = kmers;
+          uint32_t saw_ws = 0;
+          for (uint64_t j = i; j < lim; j++) {
+            const uint8_t cls = BYTE_CLASS[p->buf[j]];
+            saw_ws |= (cls == 4);
+            const uint64_t code = cls & 3;
+            fwd = ((fwd << 2) | code) & mask;
+            rev = (rev >> 2) | ((3 - code) << rshift);
+            vlen = (cls < 4) ? vlen + 1 : 0;
+            const uint64_t canon = fwd < rev ? fwd : rev;
+            out_kmers[n] = canonical ? canon : fwd;
+            out_rc[n] = canonical ? (uint8_t)(fwd >= rev) : 0;
+            const uint64_t emit = (vlen >= k);
+            n += emit;
+            kmers += emit;
           }
-        } else if (cls == 4) {
-          rec_raw++; trail++;   // whitespace: raw counts it, normalize drops it
-        } else {
-          rec_raw++; trail = 0;
-          vlen = 0;             // invalid base breaks the window
+          if (saw_ws) {
+            // exact redo: whitespace is removed by normalization, so the
+            // window continues across it and raw/trailing counters differ
+            fwd = save_fwd; rev = save_rev; vlen = save_vlen;
+            n = save_n; kmers = save_kmers;
+            for (uint64_t j = i; j < lim; j++) {
+              const uint8_t cls = BYTE_CLASS[p->buf[j]];
+              if (cls < 4) {
+                rec_raw++; trail = 0;
+                fwd = ((fwd << 2) | cls) & mask;
+                rev = (rev >> 2) | (uint64_t(3 - cls) << rshift);
+                if (++vlen >= k) {
+                  if (canonical) {
+                    if (fwd < rev) { out_kmers[n] = fwd; out_rc[n] = 0; }
+                    else           { out_kmers[n] = rev; out_rc[n] = 1; }
+                  } else {
+                    out_kmers[n] = fwd; out_rc[n] = 0;
+                  }
+                  n++; kmers++;
+                }
+              } else if (cls == 4) {
+                rec_raw++; trail++;
+              } else {
+                rec_raw++; trail = 0;
+                vlen = 0;
+              }
+            }
+          } else {
+            rec_raw += lim - i;
+            trail = 0;
+          }
+          i = lim;
+          line_start = false;
+        }
+
+        if (i < span_end) {
+          // output budget exhausted mid-line
+          break;
+        }
+        if (nlp != nullptr && i == span_end) {
+          if (!is_fasta) {
+            // FASTQ sequence line ends
+            p->fwd = fwd; p->rev = rev; p->vlen = vlen;
+            p->rec_raw = rec_raw; p->rec_trail_ws = trail;
+            p->total_kmers = kmers;
+            p->fq_seq_len = rec_raw;  // seq line counts no internal ws raw
+            p->state = P_FASTQ_PLUS;
+            p->cur = i + 1;
+            p->at_line_start = true;
+            goto outer_continue;
+          }
+          // FASTA: the newline is whitespace in the raw sequence region
+          rec_raw++; trail++;
+          i++;
+          line_start = true;
         }
       }
       p->fwd = fwd; p->rev = rev; p->vlen = vlen;
