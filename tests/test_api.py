@@ -173,3 +173,13 @@ def test_distributed_global_mesh():
     assert mesh.devices.size == len(jax.devices())
     assert mesh.axis_names == ("data",)
     assert distributed.is_primary() in (True, False)
+
+
+def test_finch_dropin_shim(query_fa_path):
+    """`import finch` works like the reference pyo3 module (python.rs:682)."""
+    import finch
+
+    s = finch.sketch_file(str(query_fa_path), n_hashes=10, filter=False)
+    assert len(s.hashes) == 10
+    ms = finch.Multisketch.from_sketches([s])
+    assert len(ms) == 1 and isinstance(ms[0], finch.Sketch)
