@@ -1,0 +1,74 @@
+"""Property-based tests (hypothesis) mirroring the reference's proptest
+strategy (lib/src/distance.rs:176-185, scaled.rs:202-213) plus the batch-
+equivalence theorem that underpins the TPU engines."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from finch_tpu.core.distance import raw_distance_arrays
+from finch_tpu.models.engine import NumpyEngine
+from finch_tpu.models.oracle import OracleMashSketcher
+from finch_tpu.models.params import SketchParams
+
+sorted_hashes = st.lists(
+    st.integers(min_value=0, max_value=2 ** 64 - 2),
+    min_size=0, max_size=50, unique=True,
+).map(lambda xs: np.sort(np.array(xs, dtype=np.uint64)))
+
+
+@settings(max_examples=50, deadline=None)
+@given(sorted_hashes, sorted_hashes)
+def test_raw_distance_jaccard_commutative(a, b):
+    """distance.rs:176-185: jaccard(a, b) == jaccard(b, a)."""
+    _, jab, cab, tab = raw_distance_arrays(a, b, 0.0)
+    _, jba, cba, tba = raw_distance_arrays(b, a, 0.0)
+    assert jab == jba and cab == cba and tab == tba
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.text(alphabet="ACGT", min_size=30, max_size=200),
+       st.floats(min_value=0.01, max_value=1.0))
+def test_scaled_retains_only_below_max_hash(seq, scale):
+    """scaled.rs:202-213: with size=0 every retained hash <= max_hash."""
+    from finch_tpu.native import KmerReader
+
+    params = SketchParams.scaled(scale=scale, kmers_to_sketch=0,
+                                 kmer_length=21)
+    eng = NumpyEngine(params)
+    data = b">r\n" + seq.encode() + b"\n"
+    for packed, rc in KmerReader(data, k=21, batch_size=1024):
+        eng.update(packed, rc)
+    max_hash = params.max_hash()
+    for kc in eng.finalize():
+        assert kc.hash <= max_hash
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=4 ** 21 - 1),
+                min_size=1, max_size=300),
+       st.randoms(use_true_random=False))
+def test_batch_equivalence_any_partition(kmers, rng):
+    """The batch-equivalence theorem: any batch partition of the stream
+    produces the identical sketch (counts included) as one-at-a-time
+    streaming through the heap-faithful oracle."""
+    from finch_tpu.native import unpack_kmers
+
+    params = SketchParams.mash(kmers_to_sketch=16, final_size=16)
+    pk = np.array(kmers, dtype=np.uint64)
+    rc = np.array([rng.randint(0, 1) for _ in kmers], dtype=np.uint8)
+
+    oracle = OracleMashSketcher(16, 21, 0)
+    kmer_bytes = unpack_kmers(pk, 21)
+    for kb, r in zip(kmer_bytes, rc):
+        oracle.push(bytes(kb), int(r))
+
+    eng = NumpyEngine(params)
+    i = 0
+    while i < len(pk):
+        step = rng.randint(1, len(pk) - i)
+        eng.update(pk[i:i + step], rc[i:i + step])
+        i += step
+
+    a = [(h, c, e) for (h, _km, c, e) in oracle.to_vec()]
+    b = [(k.hash, k.count, k.extra_count) for k in eng.finalize()]
+    assert a == b
