@@ -110,3 +110,57 @@ def test_noncanonical_bit_kmers():
     got = [bytes(row) for row in unpack_kmers(packed, 2)]
     assert got == [b"AC", b"CG", b"GT", b"AC"]
     assert not rc.any()
+
+
+def test_parser_fuzz_no_crash():
+    """Random byte soup must parse or raise cleanly — never crash the C++
+    layer (memory safety stands in for Rust's, paper.md:28)."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from finch_tpu.native import KmerReader, NativeError
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(min_size=0, max_size=400))
+    def run(data):
+        try:
+            total = 0
+            for packed, rc in KmerReader(data, k=21, batch_size=256):
+                assert len(packed) == len(rc)
+                total += len(packed)
+                assert np.all(packed < np.uint64(4 ** 21))
+        except NativeError:
+            pass
+
+    run()
+
+
+def test_parser_fuzz_wellformed_fasta_totals():
+    """Random well-formed FASTA: totals must be consistent with content."""
+    from hypothesis import given, settings, strategies as st
+
+    from finch_tpu.native import KmerReader
+
+    rec = st.tuples(
+        st.just("r"),
+        st.text(alphabet="ACGTN", min_size=0, max_size=120))
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(rec, min_size=1, max_size=5))
+    def run(recs):
+        data = b"".join(
+            b">" + n.encode() + b"\n" + s.encode() + b"\n" for n, s in recs)
+        reader = KmerReader(data, k=5, batch_size=64)
+        total = sum(len(p) for p, _ in reader)
+        bases, kmers, records = reader.totals
+        # expected kmers: per record, windows of 5 with no N
+        exp = 0
+        for _, s in recs:
+            for run_ in s.split("N"):
+                exp += max(0, len(run_) - 4)
+        assert kmers == exp == total
+        assert records == len(recs)
+        assert bases == sum(len(s) for _, s in recs)
+        reader.close()
+
+    run()
