@@ -26,6 +26,30 @@ def _make_engine(sketch_params: SketchParams, backend: str, batch_size: int):
     return make_engine(sketch_params, backend=backend, batch_size=batch_size)
 
 
+def _choose_reader(source, k: int, canonical: bool, batch_size: int):
+    """Within-file parallel parsing when cores are available and the file
+    fits the in-memory budget; otherwise the O(1)-memory streaming parser
+    (the reference's footprint profile, README.md:116-119)."""
+    import os
+
+    from finch_tpu.native import ParallelKmerReader
+
+    cores = os.cpu_count() or 1
+    budget = int(os.environ.get("FINCH_TPU_PARSER_MEM", str(4 << 30)))
+    if cores > 1:
+        try:
+            size = (len(source)
+                    if isinstance(source, (bytes, bytearray, memoryview))
+                    else os.path.getsize(source))
+        except OSError:
+            size = budget + 1
+        if size <= budget:
+            return ParallelKmerReader(source, k=k, canonical=canonical,
+                                      batch_size=batch_size)
+    return KmerReader(source, k=k, canonical=canonical,
+                      batch_size=batch_size)
+
+
 def sketch_stream(source, name: str, sketch_params: SketchParams,
                   filters: FilterParams, backend: str = "auto",
                   batch_size: int = 1 << 21) -> Sketch:
@@ -35,8 +59,7 @@ def sketch_stream(source, name: str, sketch_params: SketchParams,
     filter_params = filters.copy()
     engine = _make_engine(sketch_params, backend, batch_size)
     canonical = sketch_params.sketch_type != "none"
-    reader = KmerReader(source, k=sketch_params.k, canonical=canonical,
-                        batch_size=batch_size)
+    reader = _choose_reader(source, sketch_params.k, canonical, batch_size)
     parse_m = get_meter("parse_kmers")
     engine_m = get_meter("engine_kmers")
 

@@ -177,3 +177,112 @@ class KmerReader:
 
     def __del__(self):
         self.close()
+
+
+class ParallelKmerReader:
+    """Within-file parallel k-mer extraction over record-aligned chunks.
+
+    The analog of splitting one file across cores (the reference's rayon
+    only parallelizes across files, lib.rs:34-47). The input is loaded (and
+    gunzipped — gzip streams are inherently serial) once, split at exact
+    record boundaries — FASTA at "\\n>", FASTQ at every 4th newline (this
+    parser's FASTQ dialect is strictly 4 lines/record) — and each chunk
+    runs through its own C++ parser on a worker thread (ctypes releases
+    the GIL). Batches are yielded chunk-by-chunk in file order, so the
+    emitted k-mer stream is byte-identical to the serial reader's; totals
+    sum exactly.
+    """
+
+    def __init__(self, path_or_bytes, k: int, canonical: bool = True,
+                 batch_size: int = 1 << 22, threads: int | None = None):
+        import gzip as _gzip
+
+        if isinstance(path_or_bytes, (bytes, bytearray, memoryview)):
+            data = bytes(path_or_bytes)
+        else:
+            with open(path_or_bytes, "rb") as f:
+                data = f.read()
+        if data[:2] == b"\x1f\x8b":
+            data = _gzip.decompress(data)
+        if threads is None:
+            threads = int(os.environ.get("FINCH_TPU_PARSER_THREADS", "0")) \
+                or (os.cpu_count() or 1)
+        self.k = int(k)
+        self.canonical = bool(canonical)
+        self.batch_size = int(batch_size)
+        self._chunks = self._split(data, max(1, threads))
+        self._totals = (0, 0, 0)
+        self._fmt = 0
+
+    @staticmethod
+    def _split(data: bytes, n: int) -> list:
+        if not data or n <= 1 or len(data) < 1 << 16:
+            return [data] if data else []
+        if data[:1] == b">":
+            bounds = [0]
+            step = len(data) // n
+            for t in range(1, n):
+                pos = data.find(b"\n>", t * step)
+                if pos < 0:
+                    break
+                start = pos + 1
+                if start > bounds[-1]:
+                    bounds.append(start)
+            bounds.append(len(data))
+            return [data[a:b] for a, b in zip(bounds, bounds[1:]) if b > a]
+        if data[:1] == b"@":
+            # strict 4-line records: boundaries at every 4th newline
+            nl = np.flatnonzero(
+                np.frombuffer(data, dtype=np.uint8) == 0x0A)
+            rec_starts = nl[3::4] + 1  # byte after each 4th newline
+            bounds = [0]
+            step = len(data) // n
+            for t in range(1, n):
+                ix = np.searchsorted(rec_starts, t * step)
+                if ix >= len(rec_starts):
+                    break
+                start = int(rec_starts[ix])
+                if start < len(data) and start > bounds[-1]:
+                    bounds.append(start)
+            bounds.append(len(data))
+            return [data[a:b] for a, b in zip(bounds, bounds[1:]) if b > a]
+        return [data]
+
+    def __iter__(self):
+        import concurrent.futures as cf
+
+        if not self._chunks:
+            # delegate the empty-input error to a plain reader
+            r = KmerReader(b"", k=self.k, canonical=self.canonical,
+                           batch_size=self.batch_size)
+            yield from r
+            return
+
+        def parse(chunk):
+            r = KmerReader(chunk, k=self.k, canonical=self.canonical,
+                           batch_size=self.batch_size)
+            out = list(r)
+            t = r.totals
+            fmt = r.format
+            r.close()
+            return out, t, fmt
+
+        totals = [0, 0, 0]
+        with cf.ThreadPoolExecutor(max_workers=len(self._chunks)) as pool:
+            for out, t, fmt in pool.map(parse, self._chunks):
+                self._fmt = self._fmt or fmt
+                for i in range(3):
+                    totals[i] += t[i]
+                yield from out
+        self._totals = tuple(totals)
+
+    @property
+    def totals(self):
+        return self._totals
+
+    @property
+    def format(self):
+        return self._fmt
+
+    def close(self) -> None:
+        self._chunks = []

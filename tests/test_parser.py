@@ -164,3 +164,38 @@ def test_parser_fuzz_wellformed_fasta_totals():
         reader.close()
 
     run()
+
+
+def test_parallel_reader_matches_serial():
+    """ParallelKmerReader's stream and totals are identical to the serial
+    reader for FASTA and FASTQ, at any thread count."""
+    import numpy as np
+
+    from finch_tpu.native import KmerReader, ParallelKmerReader
+
+    rng = np.random.default_rng(3)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+    # FASTQ: many records
+    parts = []
+    for i in range(2000):
+        L = int(rng.integers(30, 90))
+        seq = bases[rng.integers(0, 4, size=L)].tobytes()
+        parts.append(b"@r%d\n" % i + seq + b"\n+\n" + b"F" * L + b"\n")
+    fq = b"".join(parts)
+    # FASTA: multi-line records with Ns
+    parts = [b">c%d\nACGTN" % i
+             + bases[rng.integers(0, 4, size=200)].tobytes() + b"\nACGT\n"
+             for i in range(500)]
+    fa = b"".join(parts)
+
+    for data in (fq, fa):
+        serial = KmerReader(data, k=21, batch_size=777)
+        s_pk = np.concatenate([p for p, _ in serial] or [np.empty(0)])
+        s_totals = serial.totals
+        for threads in (2, 5):
+            par = ParallelKmerReader(data, k=21, batch_size=777,
+                                     threads=threads)
+            p_pk = np.concatenate([p for p, _ in par] or [np.empty(0)])
+            assert np.array_equal(s_pk, p_pk)
+            assert par.totals == s_totals
