@@ -7,7 +7,7 @@ a NumPy struct-of-arrays view for the device/distance paths.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional
 
 import numpy as np
@@ -25,9 +25,6 @@ class KmerCount:
 
     def astuple(self):
         return (self.hash, self.kmer, self.count, self.extra_count, self.label)
-
-    def __eq__(self, other):
-        return isinstance(other, KmerCount) and self.astuple() == other.astuple()
 
 
 @dataclass
@@ -58,16 +55,6 @@ class Sketch:
         return np.asarray([kc.extra_count for kc in self.hashes],
                           dtype=np.uint32)
 
-    def __eq__(self, other):
-        if not isinstance(other, Sketch):
-            return NotImplemented
-        return (self.name == other.name
-                and self.seq_length == other.seq_length
-                and self.num_valid_kmers == other.num_valid_kmers
-                and self.comment == other.comment
-                and self.hashes == other.hashes
-                and self.filter_params == other.filter_params
-                and self.sketch_params == other.sketch_params)
 
 
 def kmer_counts_from_arrays(hashes, kmers, counts, extras,

@@ -17,7 +17,7 @@ from finch_tpu.core.sketch import Sketch
 from finch_tpu.models.params import FilterParams, SketchParams
 from finch_tpu.models.engine import make_engine
 from finch_tpu.models.allcounts import AllCountsEngine
-from finch_tpu.native import FORMAT_FASTA, FORMAT_FASTQ, KmerReader
+from finch_tpu.native import FORMAT_FASTQ, KmerReader
 
 
 def _make_engine(sketch_params: SketchParams, backend: str, batch_size: int):
@@ -26,40 +26,57 @@ def _make_engine(sketch_params: SketchParams, backend: str, batch_size: int):
     return make_engine(sketch_params, backend=backend, batch_size=batch_size)
 
 
-def _choose_reader(source, k: int, canonical: bool, batch_size: int):
+def _choose_reader(source, k: int, canonical: bool, batch_size: int,
+                   parser_threads: Optional[int] = None):
     """Within-file parallel parsing when cores are available and the file
     fits the in-memory budget; otherwise the O(1)-memory streaming parser
-    (the reference's footprint profile, README.md:116-119)."""
+    (the reference's footprint profile, README.md:116-119).
+
+    The budget (FINCH_TPU_PARSER_MEM, default 2 GiB of DECOMPRESSED bytes)
+    is enforced post-decompression by ParallelKmerReader; gzip inputs are
+    pre-screened with a 4x expansion estimate. The in-flight batch window
+    bounds materialized output to a few chunks' worth."""
     import os
 
     from finch_tpu.native import ParallelKmerReader
 
-    cores = os.cpu_count() or 1
-    budget = int(os.environ.get("FINCH_TPU_PARSER_MEM", str(4 << 30)))
+    cores = (os.cpu_count() or 1) if parser_threads is None \
+        else parser_threads
+    budget = int(os.environ.get("FINCH_TPU_PARSER_MEM", str(2 << 30)))
     if cores > 1:
         try:
             size = (len(source)
                     if isinstance(source, (bytes, bytearray, memoryview))
                     else os.path.getsize(source))
+            is_gz = (bytes(source[:2]) == b"\x1f\x8b"
+                     if isinstance(source, (bytes, bytearray, memoryview))
+                     else str(source).endswith(".gz"))
         except OSError:
-            size = budget + 1
-        if size <= budget:
-            return ParallelKmerReader(source, k=k, canonical=canonical,
-                                      batch_size=batch_size)
+            size, is_gz = budget + 1, False
+        if size * (4 if is_gz else 1) <= budget:
+            try:
+                return ParallelKmerReader(
+                    source, k=k, canonical=canonical,
+                    batch_size=batch_size, threads=parser_threads,
+                    mem_budget=budget)
+            except MemoryError:
+                pass  # decompressed bigger than estimated: stream instead
     return KmerReader(source, k=k, canonical=canonical,
                       batch_size=batch_size)
 
 
 def sketch_stream(source, name: str, sketch_params: SketchParams,
                   filters: FilterParams, backend: str = "auto",
-                  batch_size: int = 1 << 21) -> Sketch:
+                  batch_size: int = 1 << 21,
+                  parser_threads: Optional[int] = None) -> Sketch:
     """Sketch one FASTA/FASTQ(.gz) source (path or bytes). lib.rs:51-94."""
     from finch_tpu.utils import get_meter, metrics_enabled, report
 
     filter_params = filters.copy()
     engine = _make_engine(sketch_params, backend, batch_size)
     canonical = sketch_params.sketch_type != "none"
-    reader = _choose_reader(source, sketch_params.k, canonical, batch_size)
+    reader = _choose_reader(source, sketch_params.k, canonical, batch_size,
+                        parser_threads=parser_threads)
     parse_m = get_meter("parse_kmers")
     engine_m = get_meter("engine_kmers")
 
@@ -141,13 +158,15 @@ def sketch_files(filenames: Sequence[str], sketch_params: SketchParams,
     import concurrent.futures as cf
     import os
 
-    def one(filename: str) -> Sketch:
+    def one(filename: str, parser_threads=None) -> Sketch:
         if filename == "-":
             data = sys.stdin.buffer.read()
             return sketch_stream(data, filename, sketch_params, filters,
-                                 backend=backend, batch_size=batch_size)
+                                 backend=backend, batch_size=batch_size,
+                                 parser_threads=parser_threads)
         return sketch_stream(filename, filename, sketch_params, filters,
-                             backend=backend, batch_size=batch_size)
+                             backend=backend, batch_size=batch_size,
+                             parser_threads=parser_threads)
 
     if len(filenames) <= 1:
         return [one(f) for f in filenames]
@@ -155,4 +174,7 @@ def sketch_files(filenames: Sequence[str], sketch_params: SketchParams,
     if workers <= 1 or "-" in filenames:  # stdin must stay serial
         return [one(f) for f in filenames]
     with cf.ThreadPoolExecutor(max_workers=workers) as pool:
-        return list(pool.map(one, filenames))
+        # files already occupy the cores; within-file parsing stays serial
+        # so memory and threads don't multiply quadratically
+        return list(pool.map(lambda f: one(f, parser_threads=1),
+                             filenames))

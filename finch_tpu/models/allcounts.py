@@ -18,9 +18,9 @@ from finch_tpu.models.params import SketchParams
 from finch_tpu.native import unpack_kmers
 
 
-def revcomp_codes(k: int) -> np.ndarray:
-    """Reverse-complement index table for all 4^k packed codes."""
-    idx = np.arange(4 ** k, dtype=np.uint64)
+def revcomp_packed(idx: np.ndarray, k: int) -> np.ndarray:
+    """Reverse-complement of packed 2-bit codes (vectorized)."""
+    idx = np.asarray(idx, dtype=np.uint64)
     rc = np.zeros_like(idx)
     v = idx.copy()
     for _ in range(k):
@@ -39,24 +39,29 @@ class AllCountsEngine:
 
     def update(self, packed: np.ndarray, rc: np.ndarray) -> None:
         # forward-strand codes; rc unused by this scheme
-        np.add.at(self.counts, np.asarray(packed, dtype=np.int64), 1)
+        self.counts += np.bincount(
+            np.asarray(packed, dtype=np.int64),
+            minlength=len(self.counts)).astype(np.uint64)
 
     def finalize(self):
         # saturating u32 per-index counts (counts.rs:31 saturating_add)
         counts = np.minimum(self.counts, 0xFFFFFFFF).astype(np.uint32)
-        orig = counts.copy()
-        rc_tab = revcomp_codes(self.k)
-        out = []
-        for ix in range(len(counts)):
-            count = int(counts[ix])
-            if count == 0:
-                continue
-            rci = int(rc_tab[ix])
-            extra = int(orig[rci])
-            counts[rci] = 0
-            count = (count + extra) & 0xFFFFFFFF  # wrapping u32 add
-            kmer = bytes(unpack_kmers(
-                np.array([ix], dtype=np.uint64), self.k)[0])
-            out.append(KmerCount(hash=ix, kmer=kmer, count=count,
-                                 extra_count=extra))
-        return out
+        nz = np.flatnonzero(counts).astype(np.uint64)
+        if len(nz) == 0:
+            return []
+        rc = revcomp_packed(nz, self.k)
+        # the reference's ascending scan emits index ix unless its RC
+        # partner was emitted earlier (rc < ix with a nonzero count), in
+        # which case the partner already folded ix's count (counts.rs:42-63)
+        partner_first = (rc < nz) & (counts[rc] > 0)
+        emit = nz[~partner_first]
+        erc = rc[~partner_first]
+        base = counts[emit].astype(np.uint64)
+        extra = counts[erc].astype(np.uint64)
+        total = (base + extra) & np.uint64(0xFFFFFFFF)  # wrapping u32 add
+        kmers = unpack_kmers(emit, self.k)
+        return [
+            KmerCount(hash=int(ix), kmer=bytes(kmers[i]),
+                      count=int(total[i]), extra_count=int(extra[i]))
+            for i, ix in enumerate(emit)
+        ]

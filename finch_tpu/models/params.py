@@ -28,8 +28,11 @@ def scale_to_max_hash(scale: float) -> int:
     else:
         iscale_int = int(iscale)  # truncation, like `as u64`
     if iscale_int == 0:
-        # Rust would panic on div-by-zero; scale >= 1.0 gives iscale 1
-        iscale_int = 1
+        # the reference panics on the u64::MAX / 0 (scaled.rs:31); surface
+        # the invalid parameter instead of silently sketching everything
+        raise ValueError(
+            f"invalid scale {1.0 / iscale if iscale else 0!r}: "
+            "scale must be in (0, 1]")
     return U64_MAX // iscale_int
 
 
@@ -127,12 +130,17 @@ class SketchParams:
 
 
 def _fmt_f64(x: float) -> str:
-    """Rust f64::to_string() / serde_json float formatting (shortest
-    round-trip, via ryu). Python repr() is also shortest round-trip; align
-    the integral-value spelling ("1" vs "1.0")."""
+    """Rust f64 Display (to_string()): shortest round-trip digits, always
+    positional — Display never uses exponent notation — and integral
+    values without the ".0"."""
     if x == int(x) and abs(x) < 1e16:
         return str(int(x))
-    return repr(x)
+    r = repr(x)
+    if "e" in r or "E" in r:
+        from decimal import Decimal
+
+        return format(Decimal(r), "f")
+    return r
 
 
 @dataclass

@@ -194,7 +194,8 @@ class ParallelKmerReader:
     """
 
     def __init__(self, path_or_bytes, k: int, canonical: bool = True,
-                 batch_size: int = 1 << 22, threads: int | None = None):
+                 batch_size: int = 1 << 22, threads: int | None = None,
+                 mem_budget: int | None = None):
         import gzip as _gzip
 
         if isinstance(path_or_bytes, (bytes, bytearray, memoryview)):
@@ -204,6 +205,10 @@ class ParallelKmerReader:
                 data = f.read()
         if data[:2] == b"\x1f\x8b":
             data = _gzip.decompress(data)
+        if mem_budget is not None and len(data) > mem_budget:
+            raise MemoryError(
+                "decompressed input exceeds the parallel-parse budget; "
+                "use the streaming KmerReader")
         if threads is None:
             threads = int(os.environ.get("FINCH_TPU_PARSER_THREADS", "0")) \
                 or (os.cpu_count() or 1)
@@ -248,6 +253,10 @@ class ParallelKmerReader:
             return [data[a:b] for a, b in zip(bounds, bounds[1:]) if b > a]
         return [data]
 
+    # in-flight chunk window: bounds peak memory at ~WINDOW chunks of
+    # materialized batches (~9 B/base each) instead of the whole file's
+    WINDOW = 3
+
     def __iter__(self):
         import concurrent.futures as cf
 
@@ -268,13 +277,23 @@ class ParallelKmerReader:
             return out, t, fmt
 
         totals = [0, 0, 0]
-        with cf.ThreadPoolExecutor(max_workers=len(self._chunks)) as pool:
-            for out, t, fmt in pool.map(parse, self._chunks):
+        chunks = self._chunks
+        with cf.ThreadPoolExecutor(max_workers=len(chunks)) as pool:
+            futs = [pool.submit(parse, c) for c in chunks[:self.WINDOW]]
+            nxt = len(futs)
+            for ci in range(len(chunks)):
+                out, t, fmt = futs[ci].result()
+                futs[ci] = None  # release the chunk's batches
+                if nxt < len(chunks):
+                    futs.append(pool.submit(parse, chunks[nxt]))
+                    nxt += 1
                 self._fmt = self._fmt or fmt
                 for i in range(3):
                     totals[i] += t[i]
+                # totals update incrementally per completed chunk so an
+                # early break still reports consistent partial counts
+                self._totals = tuple(totals)
                 yield from out
-        self._totals = tuple(totals)
 
     @property
     def totals(self):
