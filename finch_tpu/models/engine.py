@@ -155,12 +155,9 @@ class JaxEngine:
 
     @staticmethod
     def _bucket(n: int) -> int:
-        """Pad to the next power of two (>=1024) to bound retracing while
-        not sorting full-capacity batches for small inputs."""
-        b = 1024
-        while b < n:
-            b <<= 1
-        return b
+        from finch_tpu.ops.bottomk import bucket_pow2
+
+        return bucket_pow2(n)
 
     def _pad(self, arr, dtype):
         jnp = self._jnp

@@ -69,7 +69,10 @@ def auto_use_kernel() -> bool:
     try:
         import jax as _jax
 
-        return _jax.devices()[0].platform != "cpu"
+        # the kernel lowers Mosaic/TPU constructs: TPU-family platforms
+        # only ("axon" is this environment's tunneled TPU); GPU/CPU use
+        # the XLA path
+        return _jax.devices()[0].platform in ("tpu", "axon")
     except Exception:
         return False
 
@@ -77,6 +80,15 @@ PAGE = 32768       # spill append granularity (entries)
 STAGE1_H = 32      # height of the first transposed sort
 STAGE1_ROWS = 4    # stage-1 rows re-compacted per stage-2 sort
 STAGE2_H = 256     # height of the second transposed sort
+
+
+def bucket_pow2(n: int, floor: int = 1024) -> int:
+    """Next power of two >= n (>= floor): the engines' batch-pad rule, so
+    retracing is bounded while small inputs stay small."""
+    b = floor
+    while b < n:
+        b <<= 1
+    return b
 
 
 def spill_capacity(capacity: int) -> int:
@@ -203,7 +215,9 @@ def sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
     pre-truncation merged view (scaled capacity-growth signal: any
     truncation loss forces below_count > capacity, so the driver's
     grow-and-redo rail always fires before data is lost). When
-    has_max_hash, the spill is flushed every step so below is current.
+    has_max_hash, below is the upper bound (distinct below-threshold state
+    hashes) + (real spill entries) — see the scaled note below; the spill
+    is NOT flushed every step.
     """
     sh, sc, se, spk, spill, fill = state
     state4 = (sh, sc, se, spk)
@@ -235,7 +249,12 @@ def sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
         """Re-compact candidates through a (STAGE2_H, w2) axis-0 sort and
         append row pages while the next page's leading row has survivors."""
         w2 = flat_cands.shape[0] // STAGE2_H
-        r2 = max(1, min(STAGE2_H, PAGE // w2))
+        # r2 must divide STAGE2_H or the tail rows would never be paged;
+        # STAGE2_H is a power of two, so take the largest power of two
+        # within the page budget
+        r2 = 1
+        while r2 * 2 <= min(STAGE2_H, PAGE // w2):
+            r2 *= 2
         n2 = STAGE2_H // r2
         s2 = jax.lax.sort(flat_cands.reshape(STAGE2_H, w2), dimension=0)
 
@@ -285,6 +304,12 @@ def sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
         s1 = jax.lax.sort(comp)
         page = min(b, PAGE)
         npages = (b + page - 1) // page
+        if npages * page != b:
+            # pad so dynamic_slice never clamps into an already-appended
+            # region (a clamped overlap would double-count survivors)
+            s1 = jnp.concatenate(
+                [s1, jnp.full((npages * page - b,), U64_MAX,
+                              dtype=jnp.uint64)])
 
         def body(carry_p):
             carry, p = carry_p
@@ -335,8 +360,11 @@ def sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
         nsh, nsc = state4[0], state4[1]
         below_state = jnp.sum(
             ((nsh <= mh_arg) & (nsc > 0)).astype(jnp.uint32))
-        below = jnp.maximum(
-            below, below_state + fill[0].astype(jnp.uint32))
+        # count real spill entries, not consumed slots — pages are mostly
+        # U64_MAX padding at low density and would inflate the bound by
+        # the whole spill capacity
+        spill_real = jnp.sum((spill != U64_MAX).astype(jnp.uint32))
+        below = jnp.maximum(below, below_state + spill_real)
     else:
         below = below0
 

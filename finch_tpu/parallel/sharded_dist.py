@@ -98,6 +98,9 @@ def _pairs_stats_tiled(qpad, nq, rpad, nr, max_hash, *, tile: int):
     """(common, i, j) of shape (Q, R): fori over ref tiles of `tile`."""
     Q, Kp = qpad.shape
     R = rpad.shape[0]
+    if R == 0 or Q == 0:
+        z = jnp.zeros((Q, R), dtype=jnp.uint64)
+        return z, z, z
     ntiles = (R + tile - 1) // tile
     pad_r = ntiles * tile - R
     if pad_r:

@@ -123,11 +123,11 @@ class ShardedSketchEngine:
             if len(chunk_pk) < per_dev_cap:
                 break
 
-    def _bucket(self, per_shard: int) -> int:
-        b = 1024
-        while b < per_shard:
-            b <<= 1
-        return b
+    @staticmethod
+    def _bucket(n: int) -> int:
+        from finch_tpu.ops.bottomk import bucket_pow2
+
+        return bucket_pow2(n)
 
     def _step(self, pk: np.ndarray, rc: np.ndarray) -> None:
         n = self.n
