@@ -222,6 +222,11 @@ def sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
     sh, sc, se, spk, spill, fill = state
     state4 = (sh, sc, se, spk)
     b = batch_packed.shape[0]
+    if b > (1 << 25):
+        # a stage-2 page is b/1024 entries wide; past 32M lanes a single
+        # page would overflow the spill. Engines batch at 2-4M.
+        raise ValueError("sketch_step batches are limited to 32M lanes; "
+                         "split the batch")
 
     valid = jnp.arange(b, dtype=jnp.uint32) < nvalid.astype(jnp.uint32)
     thresh = sh[-1]
