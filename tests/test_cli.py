@@ -204,3 +204,51 @@ def test_param_inheritance_from_sketch_file(tmp_path):
                  check=False)
     assert proc.returncode != 0
     assert "does not match" in proc.stderr.decode()
+
+
+def test_full_workflow_chain(tmp_path):
+    """sketch -> dist -> hist -> info over generated FASTQ files: the whole
+    CLI surface chained as a user would run it."""
+    import json
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    paths = []
+    for fi in range(2):
+        parts = []
+        for i in range(300):
+            L = int(rng.integers(40, 80))
+            seq = bases[rng.integers(0, 4, size=L)].tobytes()
+            parts.append(b"@r%d\n" % i + seq + b"\n+\n" + b"F" * L + b"\n")
+        p = tmp_path / f"f{fi}.fastq"
+        p.write_bytes(b"".join(parts))
+        paths.append(str(p))
+
+    def run(*args):
+        r = subprocess.run([sys.executable, "-m", "finch_tpu.cli", *args],
+                           capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr
+        return r.stdout
+
+    # sketch in place -> .sk next to inputs
+    run("sketch", "--n-hashes", "50", "--no-strict", *paths)
+    sks = [p + ".sk" for p in paths]
+    import os
+    assert all(os.path.exists(s) for s in sks)
+
+    # dist over the sketches
+    dists = json.loads(run("dist", "--max-dist", "1.0", *sks))
+    assert len(dists) == 1
+    d = dists[0]
+    assert set(d) == {"containment", "jaccard", "mashDistance",
+                      "commonHashes", "totalHashes", "query", "reference"}
+
+    # hist + info
+    hist = json.loads(run("hist", sks[0]))
+    assert list(hist) == [paths[0]]
+    info = run("info", sks[0])
+    assert "Estimated # of Unique Kmers" in info
