@@ -179,23 +179,32 @@ def _flush(state4, spill, max_hash, *, k: int, seed: int):
 
 
 def _append_page(carry, cand, mh_arg, *, k: int, seed: int):
-    """Append one candidate page to the spill, flushing first if needed."""
+    """Append one candidate page to the spill, flushing first if needed.
+
+    The flush cond's outputs are kept to the 4 state arrays + a scalar:
+    conditional outputs are copied by XLA's buffer assignment, so routing
+    the (larger) spill reset through an elementwise where instead of the
+    cond measurably cuts per-step overhead.
+    """
     state4, spill, fill, below = carry
     need = cand.shape[0]
     sp = spill.shape[0]
 
     def do_flush(args):
-        st4, spl, bel = args
+        st4, spl = args
         nst, nb = _flush(st4, spl, mh_arg, k=k, seed=seed)
-        return (nst, jnp.full_like(spl, U64_MAX),
-                jnp.maximum(bel, nb.astype(jnp.uint32)))
+        return nst, nb.astype(jnp.uint32)
 
     def no_flush(args):
-        return args
+        st4, spl = args
+        # zero derived from the data so sharding varying-axes match the
+        # flush branch under shard_map
+        return st4, (spl[0] - spl[0]).astype(jnp.uint32)
 
     must = fill[0] + need > sp
-    state4, spill, below = jax.lax.cond(
-        must, do_flush, no_flush, (state4, spill, below))
+    state4, nb = jax.lax.cond(must, do_flush, no_flush, (state4, spill))
+    below = jnp.maximum(below, nb)
+    spill = jnp.where(must, U64_MAX, spill)
     fill = jnp.where(must, jnp.zeros_like(fill), fill)
     spill = jax.lax.dynamic_update_slice(spill, cand, (fill[0],))
     return state4, spill, fill + need, below
@@ -263,21 +272,23 @@ def sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
         n2 = STAGE2_H // r2
         s2 = jax.lax.sort(flat_cands.reshape(STAGE2_H, w2), dimension=0)
 
+        # s2 is loop-invariant: close over it instead of carrying it (a
+        # while carry is double-buffered and copied every iteration)
         def iw_body(c):
-            p2, (carry, s2) = c
+            p2, carry = c
             cand = jax.lax.dynamic_slice(
                 s2, (p2 * r2, jnp.int32(0)), (r2, w2)).ravel()
             return (p2 + jnp.int32(1),
-                    (_append_page(carry, cand, mh_arg, k=k, seed=seed), s2))
+                    _append_page(carry, cand, mh_arg, k=k, seed=seed))
 
         def iw_cond(c):
-            p2, (_, s2) = c
+            p2, _ = c
             return (p2 < n2) & jnp.any(
                 jax.lax.dynamic_slice(
                     s2, (p2 * r2, jnp.int32(0)), (1, w2)) != U64_MAX)
 
-        _, (carry, _) = jax.lax.while_loop(
-            iw_cond, iw_body, (jnp.int32(0), (carry, s2)))
+        _, carry = jax.lax.while_loop(
+            iw_cond, iw_body, (jnp.int32(0), carry))
         return carry
 
     def run_two_stage(carry):
