@@ -139,3 +139,51 @@ def test_bsk_empty_label_and_missing_filterparams_quirks():
     assert back.hashes[0].label == b""
     assert back.hashes[1].label is None
     assert back.hashes[1].count == 0xFFFFFFFF  # saturated, not crashed
+
+
+def test_open_sketch_file_garbage_is_clean_error(tmp_path):
+    """Corrupt/truncated sketch files raise clean errors, never crash
+    (capnp_lite bounds checks, json errors)."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from finch_tpu.serialization import open_sketch_file
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.binary(min_size=0, max_size=200), st.sampled_from(
+        [".sk", ".bsk", ".msh", ".json"]))
+    def run(data, ext):
+        p = tmp_path / ("f" + ext)
+        p.write_bytes(data)
+        try:
+            open_sketch_file(str(p))
+        except Exception as e:
+            # any *clean* Python exception is fine; segfaults/aborts not
+            assert isinstance(e, Exception)
+
+    run()
+
+
+def test_truncated_real_files_are_clean_errors(tmp_path):
+    """Truncations of VALID files at every prefix length stay clean."""
+    from finch_tpu.core.sketch import KmerCount, Sketch
+    from finch_tpu.models.params import FilterParams, SketchParams
+    from finch_tpu.serialization import open_sketch_file
+    from finch_tpu.serialization.finch_bsk import write_finch_file
+    from finch_tpu.serialization.mash_msh import write_mash_file
+
+    s = Sketch(name="x", seq_length=5, num_valid_kmers=3, comment="",
+               hashes=[KmerCount(hash=7, kmer=b"ACA", count=2,
+                                 extra_count=1)],
+               filter_params=FilterParams(),
+               sketch_params=SketchParams.mash(kmers_to_sketch=4,
+                                               final_size=4, kmer_length=3))
+    for ext, data in ((".bsk", write_finch_file([s])),
+                      (".msh", write_mash_file([s]))):
+        for cut in range(0, len(data), 7):
+            p = tmp_path / ("t" + ext)
+            p.write_bytes(data[:cut])
+            try:
+                open_sketch_file(str(p))
+            except Exception:
+                pass  # clean error path
