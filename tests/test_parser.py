@@ -199,3 +199,25 @@ def test_parallel_reader_matches_serial():
             p_pk = np.concatenate([p for p, _ in par] or [np.empty(0)])
             assert np.array_equal(s_pk, p_pk)
             assert par.totals == s_totals
+
+
+def test_parallel_reader_gz():
+    """Gzipped inputs decompress once and split identically."""
+    import gzip
+
+    import numpy as np
+
+    from finch_tpu.native import KmerReader, ParallelKmerReader
+
+    rng = np.random.default_rng(8)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    parts = [b">c%d\n" % i + bases[rng.integers(0, 4, size=500)].tobytes()
+             + b"\n" for i in range(300)]
+    fa = b"".join(parts)
+    gz = gzip.compress(fa)
+    serial = KmerReader(fa, k=21, batch_size=999)
+    s_pk = np.concatenate([p for p, _ in serial])
+    par = ParallelKmerReader(gz, k=21, batch_size=999, threads=3)
+    p_pk = np.concatenate([p for p, _ in par])
+    assert np.array_equal(s_pk, p_pk)
+    assert par.totals == serial.totals
