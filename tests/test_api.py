@@ -183,3 +183,26 @@ def test_finch_dropin_shim(query_fa_path):
     assert len(s.hashes) == 10
     ms = finch.Multisketch.from_sketches([s])
     assert len(ms) == 1 and isinstance(ms[0], finch.Sketch)
+
+
+def test_multisketch_filter_to_names_and_save_roundtrip(tmp_path, query_fa_path):
+    """python.rs:180-186 save (.bsk only) + filter_to_names semantics."""
+    import finch_tpu.api as finch
+
+    s1 = finch.sketch_file(str(query_fa_path), n_hashes=10, filter=False)
+    s2 = s1.copy()
+    s2.name = "other"
+    ms = finch.Multisketch.from_sketches([s1, s2])
+    ms.filter_to_names([s1.name])
+    assert len(ms) == 1
+    out = tmp_path / "db.bsk"
+    ms.save(str(out))
+    back = finch.Multisketch.open(str(out))
+    assert len(back) == 1
+    assert back[0].name == s1.name
+    assert back[0].hashes == s1.hashes
+    # like the reference, save writes finch (.bsk) format regardless of
+    # the filename (python.rs:180-186 "TODO: support other file formats")
+    ms.save(str(tmp_path / "db.msh"))
+    from finch_tpu.serialization.finch_bsk import read_finch_file
+    assert len(read_finch_file((tmp_path / "db.msh").read_bytes())) == 1
