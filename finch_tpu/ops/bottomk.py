@@ -126,13 +126,28 @@ def _dedup_truncate(h, c, e, pk, out_len: int):
     """
     is_end = jnp.concatenate([h[1:] != h[:-1], jnp.ones((1,), bool)])
 
-    cs_c = jnp.cumsum(c)
-    cs_e = jnp.cumsum(e)
+    # hand-rolled log-shift scans: jnp.cumsum/lax.cummax on u64 lower to a
+    # tuple reduce-window whose scoped-VMEM scratch exceeds the 16 MB limit
+    # at some shapes (observed at capacity ~2k: "Ran out of memory in
+    # memory space vmem ... reduce-window"); elementwise shift+combine
+    # rounds measure the same speed and lower safely
+    def _scan(x, combine):
+        n = x.shape[0]
+        d = 1
+        while d < n:
+            shifted = jnp.concatenate(
+                [jnp.zeros((d,), dtype=x.dtype), x[:-d]])
+            x = combine(x, shifted)
+            d <<= 1
+        return x
+
+    cs_c = _scan(c, jnp.add)
+    cs_e = _scan(e, jnp.add)
     zero = jnp.zeros((1,), dtype=c.dtype)
     prev_c = jnp.concatenate(
-        [zero, jax.lax.cummax(jnp.where(is_end, cs_c, 0))[:-1]])
+        [zero, _scan(jnp.where(is_end, cs_c, 0), jnp.maximum)[:-1]])
     prev_e = jnp.concatenate(
-        [zero, jax.lax.cummax(jnp.where(is_end, cs_e, 0))[:-1]])
+        [zero, _scan(jnp.where(is_end, cs_e, 0), jnp.maximum)[:-1]])
     run_c = cs_c - prev_c
     run_e = cs_e - prev_e
 
