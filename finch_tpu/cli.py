@@ -396,20 +396,27 @@ def _calc_distances_batched(queries, refs,
     scale = queries[0].sketch_params.hash_info()[3]
     scale = scale if scale is not None else 0.0
     k = float(queries[0].sketch_params.k)
-    common, istat, jstat = all_vs_all_arrays(
-        [q.hash_array() for q in queries],
-        [r.hash_array() for r in refs], scale=scale)
+    qh = [q.hash_array() for q in queries]
     distances = []
-    for jr, ref_sketch in enumerate(refs):
-        for iq, query_sketch in enumerate(queries):
-            if (query_sketch.name == ref_sketch.name
-                    and query_sketch == ref_sketch):
-                continue
-            d = distance_from_stats(
-                int(common[iq, jr]), int(istat[iq, jr]),
-                int(jstat[iq, jr]), k, query_sketch.name, ref_sketch.name)
-            if d.mash_distance <= max_distance:
-                distances.append(d)
+    # chunk the ref axis so peak memory stays bounded (three (Q, chunk)
+    # uint64 stat matrices) regardless of DB size; ref-major chunk order
+    # preserves the serial loop's output order
+    chunk = max(1, (1 << 22) // max(1, len(queries)))
+    for r0 in range(0, len(refs), chunk):
+        rchunk = refs[r0:r0 + chunk]
+        common, istat, jstat = all_vs_all_arrays(
+            qh, [r.hash_array() for r in rchunk], scale=scale)
+        for jr, ref_sketch in enumerate(rchunk):
+            for iq, query_sketch in enumerate(queries):
+                if (query_sketch.name == ref_sketch.name
+                        and query_sketch == ref_sketch):
+                    continue
+                d = distance_from_stats(
+                    int(common[iq, jr]), int(istat[iq, jr]),
+                    int(jstat[iq, jr]), k, query_sketch.name,
+                    ref_sketch.name)
+                if d.mash_distance <= max_distance:
+                    distances.append(d)
     return distances
 
 

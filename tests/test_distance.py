@@ -143,3 +143,38 @@ def test_batched_cli_distances_match_serial():
              d.containment, d.jaccard, d.mash_distance) for d in serial] == \
            [(d.query, d.reference, d.common_hashes, d.total_hashes,
              d.containment, d.jaccard, d.mash_distance) for d in batched]
+
+
+def test_batched_routing_through_calc_sketch_distances():
+    """>=4096 pairs with uniform params actually routes through the batched
+    engine (cli.py:362-366) and matches a serial re-run."""
+    import numpy as np
+
+    from finch_tpu.cli import calc_sketch_distances
+    from finch_tpu.core.sketch import KmerCount, Sketch
+    from finch_tpu.models.params import FilterParams, SketchParams
+
+    rng = np.random.default_rng(4)
+
+    def mk(name):
+        hashes = np.sort(rng.choice(2 ** 40, size=16, replace=False)
+                         .astype(np.uint64))
+        kcs = [KmerCount(hash=int(h), kmer=b"A" * 21, count=1,
+                         extra_count=0) for h in hashes]
+        return Sketch(name=name, seq_length=0, num_valid_kmers=0,
+                      comment="", hashes=kcs,
+                      filter_params=FilterParams(),
+                      sketch_params=SketchParams.mash(kmers_to_sketch=16,
+                                                      final_size=16))
+
+    queries = [mk(f"q{i}") for i in range(8)]
+    refs = [mk(f"r{i}") for i in range(520)]  # 8 x 520 = 4160 >= 4096
+    batched = calc_sketch_distances(queries, refs, False, 1.0,
+                                    use_device=True)
+    serial = calc_sketch_distances(queries, refs, False, 1.0,
+                                   use_device=False)
+    assert len(batched) == len(serial) == 8 * 520
+    assert [(d.query, d.reference, d.common_hashes, d.jaccard)
+            for d in batched] == \
+           [(d.query, d.reference, d.common_hashes, d.jaccard)
+            for d in serial]
