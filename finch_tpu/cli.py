@@ -579,10 +579,7 @@ def _fmt_f32(x) -> str:
         return "NaN"
     if np.isinf(x):
         return "inf" if x > 0 else "-inf"
-    s = repr(float(np.float32(x)))
-    # f32 shortest repr: numpy float32 repr already minimal; strip exponent +
-    r = np.format_float_positional(np.float32(x), unique=True, trim="-")
-    return r
+    return np.format_float_positional(np.float32(x), unique=True, trim="-")
 
 
 def main() -> None:

@@ -10,7 +10,9 @@ used at /root/reference/lib/src/sketch_schemes/hashing.rs:9-12.
 from __future__ import annotations
 
 import ctypes
+import gzip
 import hashlib
+import io
 import os
 import subprocess
 import threading
@@ -179,6 +181,26 @@ class KmerReader:
         self.close()
 
 
+def _gunzip_bounded(fileobj, mem_budget: int | None) -> bytes:
+    """Stream-decompress a gzip member chain, failing fast (MemoryError)
+    the moment cumulative output exceeds ``mem_budget`` — never
+    materializing more than the budget, unlike gzip.decompress."""
+    out = []
+    total = 0
+    with gzip.GzipFile(fileobj=fileobj) as g:
+        while True:
+            chunk = g.read(1 << 24)
+            if not chunk:
+                break
+            total += len(chunk)
+            if mem_budget is not None and total > mem_budget:
+                raise MemoryError(
+                    "decompressed input exceeds the parallel-parse budget; "
+                    "use the streaming KmerReader")
+            out.append(chunk)
+    return b"".join(out)
+
+
 class ParallelKmerReader:
     """Within-file parallel k-mer extraction over record-aligned chunks.
 
@@ -196,18 +218,21 @@ class ParallelKmerReader:
     def __init__(self, path_or_bytes, k: int, canonical: bool = True,
                  batch_size: int = 1 << 22, threads: int | None = None,
                  mem_budget: int | None = None):
-        import gzip as _gzip
-
         if isinstance(path_or_bytes, (bytes, bytearray, memoryview)):
             data = bytes(path_or_bytes)
+            if data[:2] == b"\x1f\x8b":
+                data = _gunzip_bounded(io.BytesIO(data), mem_budget)
         else:
             with open(path_or_bytes, "rb") as f:
-                data = f.read()
-        if data[:2] == b"\x1f\x8b":
-            data = _gzip.decompress(data)
+                head = f.read(2)
+                f.seek(0)
+                if head == b"\x1f\x8b":
+                    data = _gunzip_bounded(f, mem_budget)
+                else:
+                    data = f.read()
         if mem_budget is not None and len(data) > mem_budget:
             raise MemoryError(
-                "decompressed input exceeds the parallel-parse budget; "
+                "input exceeds the parallel-parse budget; "
                 "use the streaming KmerReader")
         if threads is None:
             threads = int(os.environ.get("FINCH_TPU_PARSER_THREADS", "0")) \

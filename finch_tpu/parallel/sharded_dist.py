@@ -182,8 +182,20 @@ def all_vs_all_arrays(query_hashes: List[np.ndarray],
 
     Returns (common, i, j) uint64 arrays of shape (Q, R). Callers apply the
     f64 containment/jaccard/mash formula on host (core/distance.py).
+
+    Precondition: u64::MAX is reserved as the pad sentinel. A genuine hash
+    equal to u64::MAX (probability ~n/2^64 per sketch) would be mistaken
+    for padding, so such inputs are rejected here; route them through the
+    exact serial engine (core/distance.py) instead — the CLI does this
+    automatically via ``_uniform_dist_params``.
     """
     from finch_tpu.core.distance import scale_recip_max_hash
+
+    for h in (*query_hashes, *ref_hashes):
+        if len(h) and np.uint64(h[-1]) == U64_MAX:
+            raise ValueError(
+                "sketch contains hash u64::MAX, which collides with the "
+                "device pad sentinel; use the serial distance engine")
 
     if mesh is not None and axis is None:
         axis = mesh.axis_names[0]
