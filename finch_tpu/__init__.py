@@ -20,11 +20,12 @@ from finch_tpu.core.sketch import Sketch, KmerCount  # noqa: E402
 from finch_tpu.core.sketching import sketch_files, sketch_stream, sketch_bytes  # noqa: E402
 from finch_tpu.serialization import open_sketch_file  # noqa: E402
 from finch_tpu.core.distance import distance  # noqa: E402
+from finch_tpu.errors import FinchError  # noqa: E402
 
 __version__ = "0.1.0"
 
 __all__ = [
     "SketchParams", "FilterParams", "Sketch", "KmerCount",
     "sketch_files", "sketch_stream", "sketch_bytes", "open_sketch_file",
-    "distance",
+    "distance", "FinchError",
 ]

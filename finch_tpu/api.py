@@ -20,9 +20,9 @@ from finch_tpu.models.params import FilterParams, SketchParams
 from finch_tpu.serialization import open_sketch_file
 from finch_tpu.serialization.finch_bsk import write_finch_file
 
-
-class FinchError(Exception):
-    pass
+# the pyo3 module exports one exception type (python.rs:682-690); ours is
+# the library-wide unified taxonomy root (finch_tpu/errors.py)
+from finch_tpu.errors import FinchError as FinchError  # noqa: F401 re-export
 
 
 def merge_sketches(sketch: core_sketch.Sketch, other: core_sketch.Sketch,

@@ -18,6 +18,7 @@ import sys
 from typing import List, Optional
 
 from finch_tpu.core.distance import SketchDistance, distance
+from finch_tpu.errors import FinchError
 from finch_tpu.core.sketch import Sketch
 from finch_tpu.core.sketching import sketch_files
 from finch_tpu.core.statistics import cardinality, hist
@@ -27,8 +28,8 @@ from finch_tpu.serialization import (FINCH_BIN_EXT, FINCH_EXT, MASH_EXT,
 from finch_tpu.serialization.json_sk import format_f64, multisketch_to_json_bytes
 
 
-class CliError(Exception):
-    pass
+class CliError(FinchError):
+    """CLI-layer error; exits with "Error: <msg>" like main.rs:194-199."""
 
 
 def _add_output_options(p):
@@ -585,7 +586,7 @@ def _fmt_f32(x) -> str:
 def main() -> None:
     try:
         run()
-    except (CliError, ValueError) as err:
+    except (FinchError, ValueError) as err:
         sys.stderr.write(f"Error: {err}\n")
         raise SystemExit(1)
     except BrokenPipeError:

@@ -29,6 +29,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from finch_tpu.core.sketch import Sketch
+from finch_tpu.errors import FinchMessageError
 from finch_tpu.models.params import U64_MAX
 
 
@@ -97,12 +98,25 @@ def raw_distance_arrays(query: np.ndarray, ref: np.ndarray, scale: float):
 
 def old_distance_arrays(query: np.ndarray, ref: np.ndarray):
     """v0.2 containment-biased mode (distance.rs:136-157), faithful loop
-    semantics (including the i < len-1 pointer clamp)."""
+    semantics (including the i < len-1 pointer clamp).
+
+    Degenerate inputs: an empty ref leaves total == 0, so the 0/0 f64
+    divisions produce NaN exactly as in Rust (distance.rs:153-155; NaN
+    serializes as null, like serde_json). An empty query would index
+    ``query_sketch[0]`` out of bounds in Rust (a panic); we raise a clean
+    FinchError instead of crashing.
+    """
     query = np.asarray(query, dtype=np.uint64)
+    ref = np.asarray(ref, dtype=np.uint64)
+    if len(query) == 0 and len(ref) > 0:
+        raise FinchMessageError(
+            "old-dist requires a non-empty query sketch")
+    if len(ref) == 0:
+        return float("nan"), float("nan"), 0, 0
     i = 0
     common = 0
     total = 0
-    for rh in np.asarray(ref, dtype=np.uint64):
+    for rh in ref:
         while query[i] < rh and i < len(query) - 1:
             i += 1
         if query[i] == rh:

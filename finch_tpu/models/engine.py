@@ -20,6 +20,8 @@ from typing import Optional
 
 import numpy as np
 
+from finch_tpu.errors import FinchMessageError
+
 from finch_tpu.models.params import SketchParams, U32_MAX, U64_MAX
 from finch_tpu.native import murmur3_packed, unpack_kmers
 from finch_tpu.core.sketch import KmerCount
@@ -286,4 +288,4 @@ def make_engine(params: SketchParams, backend: str = "auto",
         if _accelerator_present():
             return HybridEngine(params, batch_size=batch_size)
         return NumpyEngine(params)
-    raise ValueError(f"unknown backend {backend!r}")
+    raise FinchMessageError(f"unknown backend {backend!r}")

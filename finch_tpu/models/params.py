@@ -10,6 +10,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field, replace
 from typing import Optional
 
+from finch_tpu.errors import FinchMessageError
+
 U32_MAX = 0xFFFFFFFF
 U64_MAX = 0xFFFFFFFFFFFFFFFF
 
@@ -30,7 +32,7 @@ def scale_to_max_hash(scale: float) -> int:
     if iscale_int == 0:
         # the reference panics on the u64::MAX / 0 (scaled.rs:31); surface
         # the invalid parameter instead of silently sketching everything
-        raise ValueError(
+        raise FinchMessageError(
             f"invalid scale {1.0 / iscale if iscale else 0!r}: "
             "scale must be in (0, 1]")
     return U64_MAX // iscale_int
@@ -94,7 +96,7 @@ class SketchParams:
         if self.sketch_type == "mash":
             kmers = kmers[: self.final_size]
             if not self.no_strict and len(kmers) < self.final_size:
-                raise ValueError(
+                raise FinchMessageError(
                     f"{name} had too few kmers ({len(kmers)}) to sketch")
         return kmers
 
@@ -120,7 +122,7 @@ class SketchParams:
             mism = first.check_compatibility(sketch.sketch_params)
             if mism is not None:
                 name, v1, v2 = mism
-                raise ValueError(
+                raise FinchMessageError(
                     f"First sketch has {name} {v1}, but sketch {ix + 1} has "
                     f"{name} {v2}")
         return first

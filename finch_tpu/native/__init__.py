@@ -19,6 +19,8 @@ import threading
 
 import numpy as np
 
+from finch_tpu.errors import FinchParseError
+
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "src", "finch_native.cpp")
 
@@ -26,7 +28,8 @@ _lock = threading.Lock()
 _lib = None
 
 
-class NativeError(RuntimeError):
+class NativeError(FinchParseError):
+    """Native-layer failure (parse/IO), errors.rs Io/Needletail analog."""
     pass
 
 

@@ -55,6 +55,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from finch_tpu.errors import FinchMessageError
+
 from finch_tpu.ops.murmur3 import hash_packed_kmers
 from finch_tpu.ops import pallas_extract
 
@@ -249,7 +251,7 @@ def sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
     if b > (1 << 25):
         # a stage-2 page is b/1024 entries wide; past 32M lanes a single
         # page would overflow the spill. Engines batch at 2-4M.
-        raise ValueError("sketch_step batches are limited to 32M lanes; "
+        raise FinchMessageError("sketch_step batches are limited to 32M lanes; "
                          "split the batch")
 
     valid = jnp.arange(b, dtype=jnp.uint32) < nvalid.astype(jnp.uint32)

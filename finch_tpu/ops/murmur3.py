@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from finch_tpu.errors import FinchMessageError
+
 U32 = jnp.uint32
 
 C1 = (np.uint32(0x114253D5), np.uint32(0x87C37B91))
@@ -210,7 +212,7 @@ def packed_pair_to_u32_words(plo, phi, k: int):
 def hash_packed_kmers_pair(packed, *, k: int, seed: int = 0):
     """(lo, hi) u32 hash lane pair for packed canonical k-mer codes."""
     if not 1 <= k <= 31:
-        raise ValueError("packed murmur path supports k in 1..=31")
+        raise FinchMessageError("packed murmur path supports k in 1..=31")
     words = packed_to_u32_words(packed, k)
     return murmur3_x64_u32_words(words, k, seed)
 

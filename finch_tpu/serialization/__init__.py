@@ -8,6 +8,8 @@ from __future__ import annotations
 
 from typing import List
 
+from finch_tpu.errors import FinchMessageError
+
 FINCH_EXT = ".sk"
 FINCH_BIN_EXT = ".bsk"
 MASH_EXT = ".msh"
@@ -29,4 +31,4 @@ def open_sketch_file(path) -> List["Sketch"]:
         from finch_tpu.serialization.json_sk import read_sk_file
         with open(p, "rb") as f:
             return read_sk_file(f.read(), path=p)
-    raise ValueError("File suffix is not *.bsk, *.msh, or *.sk")
+    raise FinchMessageError("File suffix is not *.bsk, *.msh, or *.sk")

@@ -17,10 +17,12 @@ from __future__ import annotations
 import struct
 from typing import List, Optional, Tuple
 
+from finch_tpu.errors import FinchSchemaError
+
 WORD = 8
 
 
-class CapnpError(ValueError):
+class CapnpError(FinchSchemaError):
     pass
 
 

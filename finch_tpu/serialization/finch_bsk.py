@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import List
 
 from finch_tpu.core.sketch import KmerCount, Sketch
+from finch_tpu.errors import FinchSchemaError
 from finch_tpu.models.params import FilterParams, SketchParams, U32_MAX
 from finch_tpu.serialization.capnp_lite import MessageBuilder, MessageReader
 
@@ -61,7 +62,7 @@ def _get_sketch_params(r) -> SketchParams:
             hash_seed=r.get_u64(2))
     if method == METHOD_NONE:
         return SketchParams.all_counts(kmer_length=k)
-    raise ValueError(f"unknown sketch method {method}")
+    raise FinchSchemaError(f"unknown sketch method {method}")
 
 
 def write_finch_file(sketches: List[Sketch]) -> bytes:

@@ -24,6 +24,7 @@ import math
 from typing import List
 
 from finch_tpu.core.sketch import KmerCount, Sketch
+from finch_tpu.errors import FinchSchemaError
 from finch_tpu.models.params import FilterParams, SketchParams
 
 
@@ -90,7 +91,7 @@ def multisketch_params_from_json(doc: dict) -> SketchParams:
     hash_seed = int(doc.get("hashSeed", 0))
     if hash_type == "MurmurHash3_x64_128" and scale is None:
         if int(doc.get("hashBits", 64)) != 64:
-            raise ValueError(
+            raise FinchSchemaError(
                 f"Multisketch has incompatible hash size "
                 f"({doc.get('hashBits')} != 64)")
         return SketchParams.mash(
@@ -98,7 +99,7 @@ def multisketch_params_from_json(doc: dict) -> SketchParams:
             no_strict=True, kmer_length=kmer, hash_seed=hash_seed)
     if hash_type == "MurmurHash3_x64_128":
         if int(doc.get("hashBits", 64)) != 64:
-            raise ValueError(
+            raise FinchSchemaError(
                 f"Multisketch has incompatible hash size "
                 f"({doc.get('hashBits')} != 64)")
         return SketchParams.scaled(
@@ -106,7 +107,7 @@ def multisketch_params_from_json(doc: dict) -> SketchParams:
             scale=float(scale), hash_seed=hash_seed)
     if hash_type == "None":
         return SketchParams.all_counts(kmer_length=kmer)
-    raise ValueError(f"{hash_type} sketch type is not supported")
+    raise FinchSchemaError(f"{hash_type} sketch type is not supported")
 
 
 def read_sk_file(data: bytes, path: str = "<bytes>") -> List[Sketch]:
@@ -115,7 +116,7 @@ def read_sk_file(data: bytes, path: str = "<bytes>") -> List[Sketch]:
     try:
         doc = json.loads(data)
     except json.JSONDecodeError:
-        raise ValueError(f"Error parsing {path!r}")
+        raise FinchSchemaError(f"Error parsing {path!r}")
     sketch_params = multisketch_params_from_json(doc)
     sketches = []
     for js in doc.get("sketches", []):

@@ -34,10 +34,40 @@ def finch(*args, check=True):
 
 
 def test_file_doesnt_exist():
-    """test_cli.rs:10-18."""
+    """test_cli.rs:10-18. The unified FinchError surfaces as a clean
+    "Error: ..." line (main.rs:194-199), never a Python traceback."""
     proc = finch("sketch", "test/file/doesnt/exist", check=False)
     assert proc.returncode != 0
-    assert "No such file or directory" in proc.stderr.decode()
+    err = proc.stderr.decode()
+    assert "No such file or directory" in err
+    assert "Traceback" not in err
+
+
+def test_old_dist_degenerate_sketch_emits_null(tmp_path):
+    """--old-dist with an empty-hashes ref: Rust's 0/0 gives NaN which
+    serde_json writes as null (distance.rs:150-155); no traceback."""
+    full = tmp_path / "full.sk"
+    empty = tmp_path / "empty.sk"
+    head = ('{"kmer":21,"alphabet":"ACGT","preserveCase":false,'
+            '"canonical":true,"sketchSize":4,'
+            '"hashType":"MurmurHash3_x64_128","hashBits":64,"hashSeed":0,'
+            '"scale":null,"sketches":[%s]}')
+    sk = ('{"name":"%s","seqLength":0,"numValidKmers":0,"comment":"",'
+          '"filters":{},"hashes":[%s],"kmers":[%s],"counts":[%s]}')
+    full.write_text(head % (sk % ("q", '"1","2","3"',
+                                  '"AAA","CCC","GGG"', "1,1,1")))
+    empty.write_text(head % (sk % ("r", "", "", "")))
+    proc = finch("dist", "--old-dist", str(full), str(empty), check=False)
+    err = proc.stderr.decode()
+    assert "Traceback" not in err
+    assert proc.returncode == 0, err
+    out = proc.stdout.decode()
+    assert '"containment":null,"jaccard":null,"mashDistance":0.0' in out
+    # reversed: empty query would panic in Rust; we error cleanly
+    proc2 = finch("dist", "--old-dist", str(empty), str(full), check=False)
+    err2 = proc2.stderr.decode()
+    assert proc2.returncode != 0
+    assert "Traceback" not in err2
 
 
 def test_finch_sketch_stdout():

@@ -178,3 +178,53 @@ def test_batched_routing_through_calc_sketch_distances():
             for d in batched] == \
            [(d.query, d.reference, d.common_hashes, d.jaccard)
             for d in serial]
+
+
+def test_old_distance_empty_ref_is_nan():
+    """distance.rs:150-155: empty ref leaves total == 0 and the 0/0 f64
+    divisions yield NaN (not a crash)."""
+    import math
+
+    from finch_tpu.core.distance import old_distance_arrays
+
+    c, j, common, total = old_distance_arrays(
+        np.array([1, 2, 3], dtype=np.uint64), np.array([], dtype=np.uint64))
+    assert math.isnan(c) and math.isnan(j)
+    assert (common, total) == (0, 0)
+
+
+def test_old_distance_empty_query_raises_finch_error():
+    """Rust would panic on query_sketch[0] (distance.rs:142); we raise the
+    unified FinchError so the CLI exits cleanly."""
+    import pytest
+
+    from finch_tpu.core.distance import old_distance_arrays
+    from finch_tpu.errors import FinchError
+
+    with pytest.raises(FinchError):
+        old_distance_arrays(np.array([], dtype=np.uint64),
+                            np.array([7], dtype=np.uint64))
+
+
+def test_nan_jaccard_clamps_mash_distance_to_zero():
+    """f64::max(0, NaN) -> 0 in Rust (distance.rs:41); Python's
+    min(1, max(0, nan)) happens to agree — pin it."""
+    from finch_tpu.core.distance import mash_distance_from_jaccard
+
+    assert mash_distance_from_jaccard(float("nan"), 21.0) == 0.0
+
+
+def test_error_taxonomy_unified():
+    """errors.rs:5-25 parity: one FinchError across native/core/CLI."""
+    from finch_tpu.cli import CliError
+    from finch_tpu.errors import (FinchError, FinchMessageError,
+                                  FinchSchemaError)
+    from finch_tpu.native import NativeError
+    from finch_tpu.serialization.capnp_lite import CapnpError
+
+    for sub in (CliError, NativeError, CapnpError, FinchMessageError,
+                FinchSchemaError):
+        assert issubclass(sub, FinchError)
+    # backward-compatible Python idioms
+    assert issubclass(FinchMessageError, ValueError)
+    assert issubclass(FinchSchemaError, ValueError)
