@@ -29,13 +29,27 @@ from finch_tpu.models.params import FilterParams, SketchParams
 
 
 def format_f64(x: float) -> str:
-    """serde_json / ryu-style shortest-roundtrip float formatting."""
+    """serde_json / ryu-style shortest-roundtrip float formatting.
+
+    Python's repr is also shortest-roundtrip, so the digits agree; only the
+    fixed/scientific switch differs in one band. ryu's pretty printer
+    (ryu/src/pretty/mod.rs) uses fixed notation for -5 < kk <= 16 where
+    kk-1 is the decimal exponent; Python goes scientific from 1e-5 down.
+    So values in [1e-5, 1e-4) — e.g. the mash distance of near-identical
+    genomes — must be re-expanded to "0.0000ddd". Exponents are printed
+    without '+' or zero padding.
+    """
     if math.isnan(x) or math.isinf(x):
         return "null"
     r = repr(float(x))
     if "e" in r:
         m, e = r.split("e")
-        return f"{m}e{int(e)}"
+        exp = int(e)
+        if exp == -5:  # ryu fixed-notation band that Python prints as e-05
+            neg = m.startswith("-")
+            digits = m.lstrip("-").replace(".", "")
+            return ("-" if neg else "") + "0.0000" + digits
+        return f"{m}e{exp}"
     return r
 
 
