@@ -28,39 +28,21 @@ def _make_engine(sketch_params: SketchParams, backend: str, batch_size: int):
 
 def _choose_reader(source, k: int, canonical: bool, batch_size: int,
                    parser_threads: Optional[int] = None):
-    """Within-file parallel parsing when cores are available and the file
-    fits the in-memory budget; otherwise the O(1)-memory streaming parser
-    (the reference's footprint profile, README.md:116-119).
-
-    The budget (FINCH_TPU_PARSER_MEM, default 2 GiB of DECOMPRESSED bytes)
-    is enforced post-decompression by ParallelKmerReader; gzip inputs are
-    pre-screened with a 4x expansion estimate. The in-flight batch window
-    bounds materialized output to a few chunks' worth."""
+    """Within-file parallel parsing via the native streaming pipeline
+    (record-aligned chunks parsed by a C++ thread pool; O(1) memory in
+    file size, BGZF-parallel gunzip) whenever more than one core is
+    available; the plain serial parser otherwise. Either way the k-mer
+    stream and totals are identical (tests/test_parser.py pins it)."""
     import os
 
-    from finch_tpu.native import ParallelKmerReader
+    from finch_tpu.native import StreamingParallelReader
 
     cores = (os.cpu_count() or 1) if parser_threads is None \
         else parser_threads
-    budget = int(os.environ.get("FINCH_TPU_PARSER_MEM", str(2 << 30)))
     if cores > 1:
-        try:
-            size = (len(source)
-                    if isinstance(source, (bytes, bytearray, memoryview))
-                    else os.path.getsize(source))
-            is_gz = (bytes(source[:2]) == b"\x1f\x8b"
-                     if isinstance(source, (bytes, bytearray, memoryview))
-                     else str(source).endswith(".gz"))
-        except OSError:
-            size, is_gz = budget + 1, False
-        if size * (4 if is_gz else 1) <= budget:
-            try:
-                return ParallelKmerReader(
-                    source, k=k, canonical=canonical,
-                    batch_size=batch_size, threads=parser_threads,
-                    mem_budget=budget)
-            except MemoryError:
-                pass  # decompressed bigger than estimated: stream instead
+        return StreamingParallelReader(
+            source, k=k, canonical=canonical,
+            batch_size=batch_size, threads=parser_threads)
     return KmerReader(source, k=k, canonical=canonical,
                       batch_size=batch_size)
 

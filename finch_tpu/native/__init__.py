@@ -10,9 +10,7 @@ used at /root/reference/lib/src/sketch_schemes/hashing.rs:9-12.
 from __future__ import annotations
 
 import ctypes
-import gzip
 import hashlib
-import io
 import os
 import subprocess
 import threading
@@ -51,7 +49,7 @@ def _build() -> str:
         tmp = so_path + f".tmp{os.getpid()}"
         cmd = [
             "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-            _SRC, "-o", tmp, "-lz",
+            "-pthread", _SRC, "-o", tmp, "-lz",
         ]
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(tmp, so_path)
@@ -87,6 +85,23 @@ def lib() -> ctypes.CDLL:
                 l.fn_totals.argtypes = [ctypes.c_void_p, p(u64), p(u64), p(u64)]
                 l.fn_error.restype = ctypes.c_int
                 l.fn_error.argtypes = [ctypes.c_void_p]
+                l.fn_popen_path.restype = ctypes.c_void_p
+                l.fn_popen_path.argtypes = [
+                    ctypes.c_char_p, u32, ctypes.c_int, u64, ctypes.c_int,
+                    p(ctypes.c_int)]
+                l.fn_popen_bytes.restype = ctypes.c_void_p
+                l.fn_popen_bytes.argtypes = [
+                    ctypes.c_char_p, u64, u32, ctypes.c_int, u64,
+                    ctypes.c_int, p(ctypes.c_int)]
+                l.fn_pnext.restype = ctypes.c_int
+                l.fn_pnext.argtypes = [
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                    p(u64), p(ctypes.c_int)]
+                l.fn_ptotals.argtypes = [
+                    ctypes.c_void_p, p(u64), p(u64), p(u64)]
+                l.fn_perror_code.restype = ctypes.c_int
+                l.fn_perror_code.argtypes = [ctypes.c_void_p]
+                l.fn_pclose.argtypes = [ctypes.c_void_p]
                 _lib = l
     return _lib
 
@@ -184,152 +199,79 @@ class KmerReader:
         self.close()
 
 
-def _gunzip_bounded(fileobj, mem_budget: int | None) -> bytes:
-    """Stream-decompress a gzip member chain, failing fast (MemoryError)
-    the moment cumulative output exceeds ``mem_budget`` — never
-    materializing more than the budget, unlike gzip.decompress."""
-    out = []
-    total = 0
-    with gzip.GzipFile(fileobj=fileobj) as g:
-        while True:
-            chunk = g.read(1 << 24)
-            if not chunk:
-                break
-            total += len(chunk)
-            if mem_budget is not None and total > mem_budget:
-                raise MemoryError(
-                    "decompressed input exceeds the parallel-parse budget; "
-                    "use the streaming KmerReader")
-            out.append(chunk)
-    return b"".join(out)
+class StreamingParallelReader:
+    """Within-file parallel k-mer extraction with O(1) memory in file size.
 
+    Drives the native pipeline (finch_native.cpp "Streaming parallel parse
+    pipeline"): a reader/aligner thread streams the input in blocks and
+    splits it at exact record boundaries, a native thread pool parses the
+    record-aligned chunks concurrently, and batches come back in strict
+    file order — so the emitted k-mer stream and totals are byte-identical
+    to the serial KmerReader's. BGZF (bgzip) inputs also decompress in
+    parallel; plain gzip decompresses serially overlapped with parsing.
 
-class ParallelKmerReader:
-    """Within-file parallel k-mer extraction over record-aligned chunks.
-
-    The analog of splitting one file across cores (the reference's rayon
-    only parallelizes across files, lib.rs:34-47). The input is loaded (and
-    gunzipped — gzip streams are inherently serial) once, split at exact
-    record boundaries — FASTA at "\\n>", FASTQ at every 4th newline (this
-    parser's FASTQ dialect is strictly 4 lines/record) — and each chunk
-    runs through its own C++ parser on a worker thread (ctypes releases
-    the GIL). Batches are yielded chunk-by-chunk in file order, so the
-    emitted k-mer stream is byte-identical to the serial reader's; totals
-    sum exactly.
+    Memory is bounded by ~(threads + 2) chunks regardless of file
+    size (the reference's own yardstick, a 4.8 GB FASTQ, streams through).
     """
 
     def __init__(self, path_or_bytes, k: int, canonical: bool = True,
-                 batch_size: int = 1 << 22, threads: int | None = None,
-                 mem_budget: int | None = None):
-        if isinstance(path_or_bytes, (bytes, bytearray, memoryview)):
-            data = bytes(path_or_bytes)
-            if data[:2] == b"\x1f\x8b":
-                data = _gunzip_bounded(io.BytesIO(data), mem_budget)
-        else:
-            with open(path_or_bytes, "rb") as f:
-                head = f.read(2)
-                f.seek(0)
-                if head == b"\x1f\x8b":
-                    data = _gunzip_bounded(f, mem_budget)
-                else:
-                    data = f.read()
-        if mem_budget is not None and len(data) > mem_budget:
-            raise MemoryError(
-                "input exceeds the parallel-parse budget; "
-                "use the streaming KmerReader")
+                 batch_size: int = 1 << 22, threads: int | None = None):
         if threads is None:
             threads = int(os.environ.get("FINCH_TPU_PARSER_THREADS", "0")) \
                 or (os.cpu_count() or 1)
         self.k = int(k)
         self.canonical = bool(canonical)
         self.batch_size = int(batch_size)
-        self._chunks = self._split(data, max(1, threads))
-        self._totals = (0, 0, 0)
-        self._fmt = 0
-
-    @staticmethod
-    def _split(data: bytes, n: int) -> list:
-        if not data or n <= 1 or len(data) < 1 << 16:
-            return [data] if data else []
-        if data[:1] == b">":
-            bounds = [0]
-            step = len(data) // n
-            for t in range(1, n):
-                pos = data.find(b"\n>", t * step)
-                if pos < 0:
-                    break
-                start = pos + 1
-                if start > bounds[-1]:
-                    bounds.append(start)
-            bounds.append(len(data))
-            return [data[a:b] for a, b in zip(bounds, bounds[1:]) if b > a]
-        if data[:1] == b"@":
-            # strict 4-line records: boundaries at every 4th newline
-            nl = np.flatnonzero(
-                np.frombuffer(data, dtype=np.uint8) == 0x0A)
-            rec_starts = nl[3::4] + 1  # byte after each 4th newline
-            bounds = [0]
-            step = len(data) // n
-            for t in range(1, n):
-                ix = np.searchsorted(rec_starts, t * step)
-                if ix >= len(rec_starts):
-                    break
-                start = int(rec_starts[ix])
-                if start < len(data) and start > bounds[-1]:
-                    bounds.append(start)
-            bounds.append(len(data))
-            return [data[a:b] for a, b in zip(bounds, bounds[1:]) if b > a]
-        return [data]
-
-    # in-flight chunk window: bounds peak memory at ~WINDOW chunks of
-    # materialized batches (~9 B/base each) instead of the whole file's
-    WINDOW = 3
+        self._err = ctypes.c_int(0)
+        self._keepalive = None
+        if isinstance(path_or_bytes, (bytes, bytearray, memoryview)):
+            data = bytes(path_or_bytes)
+            self._keepalive = data
+            self._h = lib().fn_popen_bytes(
+                data, len(data), self.k, 1 if self.canonical else 0,
+                self.batch_size, int(threads), ctypes.byref(self._err))
+        else:
+            self._h = lib().fn_popen_path(
+                str(path_or_bytes).encode(), self.k,
+                1 if self.canonical else 0, self.batch_size, int(threads),
+                ctypes.byref(self._err))
+        if not self._h:
+            raise NativeError(_ERRORS.get(self._err.value, "open failed"))
+        self.format = FORMAT_UNKNOWN
+        self._done = False
 
     def __iter__(self):
-        import concurrent.futures as cf
-
-        if not self._chunks:
-            # delegate the empty-input error to a plain reader
-            r = KmerReader(b"", k=self.k, canonical=self.canonical,
-                           batch_size=self.batch_size)
-            yield from r
-            return
-
-        def parse(chunk):
-            r = KmerReader(chunk, k=self.k, canonical=self.canonical,
-                           batch_size=self.batch_size)
-            out = list(r)
-            t = r.totals
-            fmt = r.format
-            r.close()
-            return out, t, fmt
-
-        totals = [0, 0, 0]
-        chunks = self._chunks
-        with cf.ThreadPoolExecutor(max_workers=len(chunks)) as pool:
-            futs = [pool.submit(parse, c) for c in chunks[:self.WINDOW]]
-            nxt = len(futs)
-            for ci in range(len(chunks)):
-                out, t, fmt = futs[ci].result()
-                futs[ci] = None  # release the chunk's batches
-                if nxt < len(chunks):
-                    futs.append(pool.submit(parse, chunks[nxt]))
-                    nxt += 1
-                self._fmt = self._fmt or fmt
-                for i in range(3):
-                    totals[i] += t[i]
-                # totals update incrementally per completed chunk so an
-                # early break still reports consistent partial counts
-                self._totals = tuple(totals)
-                yield from out
+        n = ctypes.c_uint64(0)
+        fmt = ctypes.c_int(0)
+        while not self._done:
+            kmers = np.empty(self.batch_size, dtype=np.uint64)
+            rc = np.empty(self.batch_size, dtype=np.uint8)
+            r = lib().fn_pnext(
+                self._h, kmers.ctypes.data, rc.ctypes.data,
+                ctypes.byref(n), ctypes.byref(fmt))
+            self.format = fmt.value or self.format
+            if r < 0:
+                code = lib().fn_perror_code(self._h)
+                raise NativeError(_ERRORS.get(code, f"parse error {code}"))
+            if r == 0:
+                self._done = True
+                break
+            if n.value:
+                yield kmers[: n.value], rc[: n.value]
 
     @property
     def totals(self):
-        return self._totals
+        bases = ctypes.c_uint64(0)
+        kmers = ctypes.c_uint64(0)
+        recs = ctypes.c_uint64(0)
+        lib().fn_ptotals(self._h, ctypes.byref(bases), ctypes.byref(kmers),
+                         ctypes.byref(recs))
+        return bases.value, kmers.value, recs.value
 
-    @property
-    def format(self):
-        return self._fmt
+    def close(self):
+        if getattr(self, "_h", None):
+            lib().fn_pclose(self._h)
+            self._h = None
 
-    def close(self) -> None:
-        self._chunks = []
+    def __del__(self):
+        self.close()

@@ -552,3 +552,737 @@ extern "C" void fn_totals(void* h, uint64_t* bases, uint64_t* kmers,
 }
 
 extern "C" int fn_error(void* h) { return ((Parser*)h)->err; }
+
+// ===========================================================================
+// Streaming parallel parse pipeline.
+//
+// The reference's only parallelism is rayon::par_iter over FILES
+// (/root/reference/lib/src/lib.rs:34-47); everything inside a file is a
+// serial streaming loop. Here one file streams through a native pipeline so
+// a single multi-GB FASTQ can saturate both the host cores and the TPU:
+//
+//   [reader]  -> fixed blocks (plain read / serial zlib inflate / BGZF
+//                block groups handed to an inflate pool, reassembled
+//                in order)
+//   [aligner] -> record-aligned chunks: FASTA splits at "\n>", FASTQ walks
+//                lines with the 4-line state machine (incl. the serial
+//                parser's blank-line-between-records tolerance)
+//   [parse pool] -> each chunk runs the streaming Parser above over its
+//                own memory span, emitting packed k-mer batches
+//   [consumer] -> fn_pnext pops batches in exact file order, so the
+//                emitted k-mer stream is byte-identical to the serial
+//                reader's and totals sum exactly
+//
+// Memory is bounded by max_live chunks regardless of file size (no
+// whole-file residency). BGZF (bgzip) inputs decompress in parallel;
+// plain gzip decompresses serially but overlaps with parsing.
+// ===========================================================================
+
+#include <atomic>
+#include <condition_variable>
+#include <deque>
+#include <memory>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace ppipe {
+
+struct PBatch {
+  // uninitialized buffers: a zeroing resize would add three extra memory
+  // passes per batch, which dominates the whole pipeline at 1 thread
+  std::unique_ptr<uint64_t[]> kmers;
+  std::unique_ptr<uint8_t[]> rc;
+  uint64_t n = 0;
+};
+
+struct PChunk {
+  uint64_t id = 0;
+  std::string text;  // record-aligned span of the input
+  std::deque<PBatch> ready;   // parsed batches not yet consumed
+  uint64_t bases = 0, kmers = 0, records = 0;
+  int fmt = 0;
+  int err = 0;
+  bool parsed = false;  // worker finished this chunk
+};
+
+using ChunkPtr = std::shared_ptr<PChunk>;
+
+// A group of BGZF members to inflate as one task.
+struct GzGroup {
+  uint64_t id = 0;
+  std::string comp;    // concatenated complete gzip members
+  std::string text;    // inflated output
+  bool done = false;
+  int err = 0;
+};
+using GroupPtr = std::shared_ptr<GzGroup>;
+
+struct Pipeline {
+  // --- config -----------------------------------------------------------
+  uint32_t k = 21;
+  int canonical = 1;
+  uint64_t batch_cap = 1 << 22;
+  int nthreads = 1;
+  uint64_t chunk_target = 4 << 20;
+  int max_live = 0;  // chunks in flight
+
+  // --- input source -----------------------------------------------------
+  FILE* file = nullptr;          // plain / bgzf path source
+  gzFile gzf = nullptr;          // serial-gz path source
+  const uint8_t* mem = nullptr;  // byte source
+  uint64_t mem_len = 0, mem_pos = 0;
+  z_stream zs;                   // serial-gz over bytes
+  bool zs_live = false;
+  enum Mode { PLAIN, SERIAL_GZ, BGZF } mode = PLAIN;
+
+  // --- chunk queues -----------------------------------------------------
+  std::mutex mu;
+  std::condition_variable cv_work;     // parse workers wait here
+  std::condition_variable cv_ready;    // consumer waits here
+  std::condition_variable cv_space;    // aligner waits here
+  std::deque<ChunkPtr> work_q;         // unparsed chunks
+  std::deque<ChunkPtr> order_q;        // all live chunks, file order
+  bool aligner_done = false;
+  int err = 0;
+  bool closing = false;
+  int fmt = 0;
+
+  // --- bgzf inflate stage ----------------------------------------------
+  std::condition_variable cv_gz_work;   // inflators wait
+  std::condition_variable cv_gz_ready;  // aligner waits for ordered text
+  std::condition_variable cv_gz_space;  // reader waits
+  std::deque<GroupPtr> gz_work_q;
+  std::deque<GroupPtr> gz_order_q;
+  bool reader_done = false;
+
+  // --- totals (consumed chunks only) ------------------------------------
+  uint64_t total_bases = 0, total_kmers = 0, total_records = 0;
+
+  std::vector<std::thread> threads;
+
+  ~Pipeline() {
+    {
+      std::unique_lock<std::mutex> lk(mu);
+      closing = true;
+    }
+    cv_work.notify_all();
+    cv_ready.notify_all();
+    cv_space.notify_all();
+    cv_gz_work.notify_all();
+    cv_gz_ready.notify_all();
+    cv_gz_space.notify_all();
+    for (auto& t : threads) t.join();
+    if (file) fclose(file);
+    if (gzf) gzclose(gzf);
+    if (zs_live) inflateEnd(&zs);
+  }
+};
+
+// --------------------------------------------------------------------------
+// stage 1: raw block production (into the aligner's buffer)
+// --------------------------------------------------------------------------
+
+static int64_t p_read_raw(Pipeline* p, uint8_t* dst, uint64_t want) {
+  switch (p->mode) {
+    case Pipeline::PLAIN:
+      if (p->file) return (int64_t)fread(dst, 1, want, p->file);
+      {
+        uint64_t n = p->mem_len - p->mem_pos;
+        if (n > want) n = want;
+        memcpy(dst, p->mem + p->mem_pos, n);
+        p->mem_pos += n;
+        return (int64_t)n;
+      }
+    case Pipeline::SERIAL_GZ:
+      if (p->gzf) {
+        int r = gzread(p->gzf, dst, (unsigned)want);
+        return (int64_t)r;
+      }
+      {
+        if (!p->zs_live) return 0;
+        p->zs.next_out = dst;
+        p->zs.avail_out = (uInt)want;
+        p->zs.next_in = const_cast<Bytef*>(p->mem + p->mem_pos);
+        p->zs.avail_in = (uInt)(p->mem_len - p->mem_pos);
+        int ret = inflate(&p->zs, Z_NO_FLUSH);
+        p->mem_pos = p->mem_len - p->zs.avail_in;
+        if (ret == Z_STREAM_END) {
+          // multi-member gzip: reset and continue if more input
+          if (p->mem_pos < p->mem_len) inflateReset2(&p->zs, 15 + 32);
+          else { inflateEnd(&p->zs); p->zs_live = false; }
+        } else if (ret != Z_OK && ret != Z_BUF_ERROR) {
+          return -1;
+        }
+        return (int64_t)(want - p->zs.avail_out);
+      }
+    case Pipeline::BGZF:
+      return -1;  // handled by the reader/inflate threads
+  }
+  return -1;
+}
+
+// --------------------------------------------------------------------------
+// BGZF: header parsing + reader + inflators
+// --------------------------------------------------------------------------
+
+// Returns the total member size (BSIZE+1) if `h` starts a BGZF member
+// header, else 0. Needs at least 18 bytes.
+static uint64_t bgzf_member_size(const uint8_t* h, uint64_t avail) {
+  if (avail < 18) return 0;
+  if (h[0] != 0x1f || h[1] != 0x8b || h[2] != 8) return 0;
+  if (!(h[3] & 4)) return 0;  // FEXTRA
+  uint16_t xlen = (uint16_t)h[10] | ((uint16_t)h[11] << 8);
+  if (avail < 12u + xlen) return 0;
+  uint64_t off = 12;
+  uint64_t end = 12u + xlen;
+  while (off + 4 <= end) {
+    uint8_t si1 = h[off], si2 = h[off + 1];
+    uint16_t slen = (uint16_t)h[off + 2] | ((uint16_t)h[off + 3] << 8);
+    if (si1 == 66 && si2 == 67 && slen == 2 && off + 6 <= end) {
+      uint16_t bsize = (uint16_t)h[off + 4] | ((uint16_t)h[off + 5] << 8);
+      return (uint64_t)bsize + 1;
+    }
+    off += 4 + slen;
+  }
+  return 0;
+}
+
+static void bgzf_reader_main(Pipeline* p) {
+  // Reads complete BGZF members, packs ~chunk_target of compressed bytes
+  // per group, enqueues for the inflate pool.
+  std::string buf;
+  uint64_t gid = 0;
+  std::string group;
+  const uint64_t group_target = 1 << 20;  // ~1MB compressed ≈ 3-4MB raw
+  bool fail = false;
+  while (!fail) {
+    // ensure a full header worth of data
+    if (buf.size() < 18) {
+      size_t old = buf.size();
+      buf.resize(old + (64 << 10));
+      int64_t n = 0;
+      if (p->file) n = (int64_t)fread(&buf[old], 1, 64 << 10, p->file);
+      else {
+        uint64_t want = 64 << 10, have = p->mem_len - p->mem_pos;
+        if (want > have) want = have;
+        memcpy(&buf[old], p->mem + p->mem_pos, want);
+        p->mem_pos += want;
+        n = (int64_t)want;
+      }
+      buf.resize(old + (n > 0 ? (size_t)n : 0));
+      if (n <= 0) {
+        if (!buf.empty()) fail = true;  // trailing garbage
+        break;
+      }
+      continue;
+    }
+    uint64_t msize = bgzf_member_size((const uint8_t*)buf.data(), buf.size());
+    if (msize == 0) { fail = true; break; }
+    while (buf.size() < msize) {
+      size_t old = buf.size();
+      size_t want = msize - old;
+      if (want < (64 << 10)) want = 64 << 10;
+      buf.resize(old + want);
+      int64_t n = 0;
+      if (p->file) n = (int64_t)fread(&buf[old], 1, want, p->file);
+      else {
+        uint64_t avail = p->mem_len - p->mem_pos;
+        if ((uint64_t)want > avail) want = avail;
+        memcpy(&buf[old], p->mem + p->mem_pos, want);
+        p->mem_pos += want;
+        n = (int64_t)want;
+      }
+      buf.resize(old + (n > 0 ? (size_t)n : 0));
+      if (n <= 0) break;
+    }
+    if (buf.size() < msize) { fail = true; break; }  // truncated member
+    group.append(buf.data(), msize);
+    buf.erase(0, msize);
+    if (group.size() >= group_target) {
+      auto g = std::make_shared<GzGroup>();
+      g->id = gid++;
+      g->comp.swap(group);
+      std::unique_lock<std::mutex> lk(p->mu);
+      p->cv_gz_space.wait(lk, [&] {
+        return p->closing || p->gz_order_q.size() < (size_t)(p->nthreads + 4);
+      });
+      if (p->closing) return;
+      p->gz_work_q.push_back(g);
+      p->gz_order_q.push_back(g);
+      lk.unlock();
+      p->cv_gz_work.notify_one();
+    }
+  }
+  // final group + done marker
+  std::unique_lock<std::mutex> lk(p->mu);
+  if (!group.empty()) {
+    auto g = std::make_shared<GzGroup>();
+    g->id = gid++;
+    g->comp.swap(group);
+    p->gz_work_q.push_back(g);
+    p->gz_order_q.push_back(g);
+    p->cv_gz_work.notify_one();
+  }
+  if (fail && !p->err) p->err = 4;
+  p->reader_done = true;
+  lk.unlock();
+  p->cv_gz_ready.notify_all();
+  p->cv_gz_work.notify_all();
+}
+
+static void bgzf_inflate_main(Pipeline* p) {
+  for (;;) {
+    GroupPtr g;
+    {
+      std::unique_lock<std::mutex> lk(p->mu);
+      p->cv_gz_work.wait(lk, [&] {
+        return p->closing || !p->gz_work_q.empty() ||
+               (p->reader_done && p->gz_work_q.empty());
+      });
+      if (p->closing) return;
+      if (p->gz_work_q.empty()) return;  // reader done, queue drained
+      g = p->gz_work_q.front();
+      p->gz_work_q.pop_front();
+    }
+    // inflate the concatenated members
+    z_stream z;
+    memset(&z, 0, sizeof(z));
+    int err = 0;
+    std::string out;
+    if (inflateInit2(&z, 15 + 32) != Z_OK) {
+      err = 3;
+    } else {
+      out.reserve(g->comp.size() * 4);
+      z.next_in = (Bytef*)g->comp.data();
+      z.avail_in = (uInt)g->comp.size();
+      char tmp[1 << 16];
+      while (true) {
+        z.next_out = (Bytef*)tmp;
+        z.avail_out = sizeof(tmp);
+        int r = inflate(&z, Z_NO_FLUSH);
+        out.append(tmp, sizeof(tmp) - z.avail_out);
+        if (r == Z_STREAM_END) {
+          if (z.avail_in == 0) break;
+          if (inflateReset2(&z, 15 + 32) != Z_OK) { err = 4; break; }
+        } else if (r != Z_OK && r != Z_BUF_ERROR) {
+          err = 4;
+          break;
+        } else if (z.avail_in == 0 && z.avail_out == sizeof(tmp)) {
+          break;  // no progress
+        }
+      }
+      inflateEnd(&z);
+    }
+    {
+      std::unique_lock<std::mutex> lk(p->mu);
+      g->text.swap(out);
+      g->comp.clear();
+      g->comp.shrink_to_fit();
+      g->err = err;
+      g->done = true;
+    }
+    p->cv_gz_ready.notify_all();
+  }
+}
+
+// Pulls the next in-order inflated text block (BGZF mode). Returns -1 on
+// error, 0 at EOF, else byte count appended to `dst`.
+static int64_t bgzf_next_text(Pipeline* p, std::string& dst) {
+  std::unique_lock<std::mutex> lk(p->mu);
+  for (;;) {
+    if (p->closing) return 0;
+    if (!p->gz_order_q.empty()) {
+      GroupPtr g = p->gz_order_q.front();
+      if (g->done) {
+        p->gz_order_q.pop_front();
+        lk.unlock();
+        p->cv_gz_space.notify_one();
+        if (g->err) return -1;
+        dst.append(g->text);
+        return (int64_t)g->text.size();
+      }
+      p->cv_gz_ready.wait(lk);
+      continue;
+    }
+    if (p->reader_done) return p->err ? -1 : 0;
+    p->cv_gz_ready.wait(lk);
+  }
+}
+
+// --------------------------------------------------------------------------
+// stage 2: the aligner — record-aligned chunking
+// --------------------------------------------------------------------------
+
+static bool is_ws_byte(uint8_t b) {
+  return b == '\n' || b == '\r' || b == ' ' || b == '\t';
+}
+
+struct AlignState {
+  int fmt = 0;           // 0 unknown, 1 fasta, 2 fastq
+  size_t scan_pos = 0;   // next unwalked byte (fastq line walk)
+  int line_state = 0;    // 0 expect record start / blank, 1..3 inside record
+  size_t last_boundary = 0;  // most recent record start (> 0 means usable)
+};
+
+// Walk newly appended bytes of `buf`, updating the FASTQ line state and the
+// last record boundary.
+static void fastq_walk(AlignState& st, const std::string& buf) {
+  const char* base = buf.data();
+  size_t len = buf.size();
+  while (st.scan_pos < len) {
+    const char* nl = (const char*)memchr(base + st.scan_pos, '\n',
+                                         len - st.scan_pos);
+    if (!nl) break;  // partial line stays for next round
+    size_t line_start = st.scan_pos;
+    size_t line_len = (size_t)(nl - base) - line_start;
+    if (st.line_state == 0) {
+      bool blank = true;
+      for (size_t j = line_start; j < line_start + line_len; j++) {
+        if (!is_ws_byte((uint8_t)base[j])) { blank = false; break; }
+      }
+      if (!blank) {
+        if (line_start > 0) st.last_boundary = line_start;
+        st.line_state = 1;
+      }
+    } else {
+      st.line_state = (st.line_state + 1) & 3;
+    }
+    st.scan_pos = (size_t)(nl - base) + 1;
+  }
+}
+
+// Find the last "\n>" boundary in buf (FASTA). Returns 0 if none usable.
+static size_t fasta_boundary(const std::string& buf) {
+  size_t pos = buf.size();
+  while (pos > 1) {
+    const void* gt = memrchr(buf.data(), '>', pos);
+    if (!gt) return 0;
+    size_t at = (size_t)((const char*)gt - buf.data());
+    if (at > 0 && buf[at - 1] == '\n') return at;
+    if (at == 0) return 0;
+    pos = at;
+  }
+  return 0;
+}
+
+static void p_emit_chunk(Pipeline* p, std::string&& text, uint64_t& cid) {
+  auto c = std::make_shared<PChunk>();
+  c->id = cid++;
+  c->text = std::move(text);
+  std::unique_lock<std::mutex> lk(p->mu);
+  p->cv_space.wait(lk, [&] {
+    return p->closing || (int)p->order_q.size() < p->max_live;
+  });
+  if (p->closing) return;
+  p->work_q.push_back(c);
+  p->order_q.push_back(c);
+  lk.unlock();
+  p->cv_work.notify_one();
+}
+
+static void aligner_main(Pipeline* p) {
+  std::string buf;
+  AlignState st;
+  uint64_t cid = 0;
+  bool io_err = false;
+  const uint64_t block = 1 << 20;
+
+  for (;;) {
+    {
+      std::unique_lock<std::mutex> lk(p->mu);
+      if (p->closing) return;
+    }
+    // pull one block
+    int64_t n;
+    if (p->mode == Pipeline::BGZF) {
+      n = bgzf_next_text(p, buf);
+    } else {
+      size_t old = buf.size();
+      buf.resize(old + block);
+      n = p_read_raw(p, (uint8_t*)&buf[old], block);
+      buf.resize(old + (n > 0 ? (size_t)n : 0));
+    }
+    if (n < 0) { io_err = true; break; }
+    if (n == 0) break;  // EOF
+
+    // detect format on first non-ws byte
+    if (st.fmt == 0) {
+      size_t i = 0;
+      while (i < buf.size() && is_ws_byte((uint8_t)buf[i])) i++;
+      if (i < buf.size()) {
+        st.fmt = buf[i] == '>' ? 1 : (buf[i] == '@' ? 2 : 3);
+      }
+    }
+    if (st.fmt == 2) fastq_walk(st, buf);
+    if (st.fmt == 3) {
+      // unknown format: hand the buffer to a parser now so the error
+      // surfaces without buffering the rest of the stream
+      p_emit_chunk(p, std::move(buf), cid);
+      buf.clear();
+      break;
+    }
+
+    while (buf.size() >= p->chunk_target) {
+      size_t cut = 0;
+      if (st.fmt == 1) cut = fasta_boundary(buf);
+      else if (st.fmt == 2) cut = st.last_boundary;
+      if (cut == 0 || cut >= buf.size()) break;  // no split point yet: grow
+      std::string chunk = buf.substr(0, cut);
+      buf.erase(0, cut);
+      // shift fastq walker state
+      if (st.fmt == 2) {
+        st.scan_pos -= cut;
+        st.last_boundary = 0;
+      }
+      p_emit_chunk(p, std::move(chunk), cid);
+      {
+        std::unique_lock<std::mutex> lk(p->mu);
+        if (p->closing) return;
+      }
+    }
+  }
+
+  if (!buf.empty() || cid == 0) {
+    // final chunk (also covers empty input -> parser emits err 1)
+    p_emit_chunk(p, std::move(buf), cid);
+  }
+  std::unique_lock<std::mutex> lk(p->mu);
+  if (io_err && !p->err) p->err = 4;
+  p->aligner_done = true;
+  lk.unlock();
+  p->cv_work.notify_all();
+  p->cv_ready.notify_all();
+}
+
+// --------------------------------------------------------------------------
+// stage 3: parse workers
+// --------------------------------------------------------------------------
+
+static void parse_worker_main(Pipeline* p) {
+  for (;;) {
+    ChunkPtr c;
+    {
+      std::unique_lock<std::mutex> lk(p->mu);
+      p->cv_work.wait(lk, [&] {
+        return p->closing || !p->work_q.empty() ||
+               (p->aligner_done && p->work_q.empty());
+      });
+      if (p->closing) return;
+      if (p->work_q.empty()) return;  // aligner done + drained
+      c = p->work_q.front();
+      p->work_q.pop_front();
+    }
+    int perr = 0;
+    Parser* ps = parser_new();
+    ps->src.kind = SRC_MEM;
+    ps->src.data = (const uint8_t*)c->text.data();
+    ps->src.len = c->text.size();
+    // a chunk of B bytes yields at most B k-mers
+    uint64_t cap = p->batch_cap < c->text.size() + 1 ? p->batch_cap
+                                                     : c->text.size() + 1;
+    for (;;) {
+      PBatch b;
+      b.kmers.reset(new uint64_t[cap]);
+      b.rc.reset(new uint8_t[cap]);
+      uint64_t n = 0;
+      int fmt = 0;
+      int r = fn_next_batch(ps, p->k, p->canonical, cap,
+                            b.kmers.get(), b.rc.get(), &n, &fmt);
+      if (r < 0) { perr = ps->err; break; }
+      b.n = n;
+      bool last = (r == 0);
+      {
+        std::unique_lock<std::mutex> lk(p->mu);
+        if (p->closing) { fn_close(ps); return; }
+        if (n) c->ready.push_back(std::move(b));
+        if (last) break;
+      }
+      if (n) p->cv_ready.notify_all();
+      if (last) break;
+    }
+    {
+      std::unique_lock<std::mutex> lk(p->mu);
+      c->bases = ps->total_bases;
+      c->kmers = ps->total_kmers;
+      c->records = ps->total_records;
+      c->fmt = ps->format;
+      c->err = perr;
+      c->parsed = true;
+      c->text.clear();
+      c->text.shrink_to_fit();
+    }
+    p->cv_ready.notify_all();
+    ps->src.data = nullptr;
+    fn_close(ps);
+  }
+}
+
+}  // namespace ppipe
+
+// --------------------------------------------------------------------------
+// C ABI
+// --------------------------------------------------------------------------
+
+using ppipe::Pipeline;
+
+static void p_start_threads(Pipeline* p) {
+  if (p->mode == Pipeline::BGZF) {
+    p->threads.emplace_back(ppipe::bgzf_reader_main, p);
+    int inflators = p->nthreads < 4 ? p->nthreads : p->nthreads / 2 + 1;
+    for (int i = 0; i < inflators; i++)
+      p->threads.emplace_back(ppipe::bgzf_inflate_main, p);
+  }
+  p->threads.emplace_back(ppipe::aligner_main, p);
+  for (int i = 0; i < p->nthreads; i++)
+    p->threads.emplace_back(ppipe::parse_worker_main, p);
+}
+
+static Pipeline* p_common_init(uint32_t k, int canonical, uint64_t batch_cap,
+                               int threads, int* err) {
+  if (k < 1 || k > 31) { *err = 6; return nullptr; }
+  Pipeline* p = new Pipeline();
+  p->k = k;
+  p->canonical = canonical;
+  p->batch_cap = batch_cap ? batch_cap : (1 << 22);
+  p->nthreads = threads > 0 ? threads : 1;
+  p->max_live = p->nthreads + 2;
+  // memory bound ~= max_live * chunk_target * 10 (text + u64/u8 batches)
+  if (const char* e = getenv("FINCH_TPU_CHUNK")) {
+    long v = atol(e);
+    if (v >= (1 << 12)) p->chunk_target = (uint64_t)v;
+  }
+  byte_class_init();
+  return p;
+}
+
+extern "C" void* fn_popen_path(const char* path, uint32_t k, int canonical,
+                               uint64_t batch_cap, int threads, int* err) {
+  *err = 0;
+  Pipeline* p = p_common_init(k, canonical, batch_cap, threads, err);
+  if (!p) return nullptr;
+  FILE* f = fopen(path, "rb");
+  if (!f) { *err = 2; delete p; return nullptr; }
+  uint8_t head[18];
+  size_t got = fread(head, 1, sizeof(head), f);
+  if (got >= 2 && head[0] == 0x1f && head[1] == 0x8b) {
+    if (ppipe::bgzf_member_size(head, got) > 0 ||
+        (got >= 4 && (head[3] & 4))) {
+      // FEXTRA present: re-check with a longer header read for BC subfield
+      uint8_t hdr2[4096];
+      rewind(f);
+      size_t g2 = fread(hdr2, 1, sizeof(hdr2), f);
+      if (ppipe::bgzf_member_size(hdr2, g2) > 0) {
+        rewind(f);
+        p->mode = Pipeline::BGZF;
+        p->file = f;
+        p_start_threads(p);
+        return p;
+      }
+    }
+    fclose(f);
+    gzFile gf = gzopen(path, "rb");
+    if (!gf) { *err = 2; delete p; return nullptr; }
+    p->mode = Pipeline::SERIAL_GZ;
+    p->gzf = gf;
+    p_start_threads(p);
+    return p;
+  }
+  rewind(f);
+  p->mode = Pipeline::PLAIN;
+  p->file = f;
+  p_start_threads(p);
+  return p;
+}
+
+extern "C" void* fn_popen_bytes(const uint8_t* data, uint64_t len, uint32_t k,
+                                int canonical, uint64_t batch_cap,
+                                int threads, int* err) {
+  *err = 0;
+  Pipeline* p = p_common_init(k, canonical, batch_cap, threads, err);
+  if (!p) return nullptr;
+  p->mem = data;
+  p->mem_len = len;
+  if (len >= 2 && data[0] == 0x1f && data[1] == 0x8b) {
+    if (ppipe::bgzf_member_size(data, len) > 0) {
+      p->mode = Pipeline::BGZF;
+    } else {
+      p->mode = Pipeline::SERIAL_GZ;
+      memset(&p->zs, 0, sizeof(z_stream));
+      if (inflateInit2(&p->zs, 15 + 32) != Z_OK) {
+        *err = 3;
+        delete p;
+        return nullptr;
+      }
+      p->zs_live = true;
+    }
+  } else {
+    p->mode = Pipeline::PLAIN;
+  }
+  p_start_threads(p);
+  return p;
+}
+
+// Blocking next-batch: 1 = batch delivered, 0 = EOF, -1 = error.
+extern "C" int fn_pnext(void* h, uint64_t* out_kmers, uint8_t* out_rc,
+                        uint64_t* n_out, int* format_out) {
+  Pipeline* p = (Pipeline*)h;
+  std::unique_lock<std::mutex> lk(p->mu);
+  *n_out = 0;
+  for (;;) {
+    if (p->err) { *format_out = p->fmt; return -1; }
+    if (!p->order_q.empty()) {
+      ppipe::ChunkPtr c = p->order_q.front();
+      if (!c->ready.empty()) {
+        ppipe::PBatch b = std::move(c->ready.front());
+        c->ready.pop_front();
+        lk.unlock();
+        memcpy(out_kmers, b.kmers.get(), b.n * 8);
+        memcpy(out_rc, b.rc.get(), b.n);
+        *n_out = b.n;
+        lk.lock();
+        if (p->fmt == 0 && c->fmt) p->fmt = c->fmt;
+        *format_out = p->fmt;
+        return 1;
+      }
+      if (c->parsed) {
+        if (c->err) {
+          p->err = c->err;
+          *format_out = p->fmt;
+          return -1;
+        }
+        p->total_bases += c->bases;
+        p->total_kmers += c->kmers;
+        p->total_records += c->records;
+        if (p->fmt == 0 && c->fmt) p->fmt = c->fmt;
+        p->order_q.pop_front();
+        lk.unlock();
+        p->cv_space.notify_one();
+        lk.lock();
+        continue;
+      }
+      p->cv_ready.wait(lk);
+      continue;
+    }
+    if (p->aligner_done) { *format_out = p->fmt; return 0; }
+    p->cv_ready.wait(lk);
+  }
+}
+
+extern "C" void fn_ptotals(void* h, uint64_t* bases, uint64_t* kmers,
+                           uint64_t* records) {
+  Pipeline* p = (Pipeline*)h;
+  std::unique_lock<std::mutex> lk(p->mu);
+  *bases = p->total_bases;
+  *kmers = p->total_kmers;
+  *records = p->total_records;
+}
+
+extern "C" int fn_perror_code(void* h) {
+  Pipeline* p = (Pipeline*)h;
+  std::unique_lock<std::mutex> lk(p->mu);
+  return p->err;
+}
+
+extern "C" void fn_pclose(void* h) { delete (Pipeline*)h; }

@@ -167,11 +167,11 @@ def test_parser_fuzz_wellformed_fasta_totals():
 
 
 def test_parallel_reader_matches_serial():
-    """ParallelKmerReader's stream and totals are identical to the serial
-    reader for FASTA and FASTQ, at any thread count."""
+    """The parallel pipeline's stream and totals are identical to the
+    serial reader for FASTA and FASTQ, at any thread count."""
     import numpy as np
 
-    from finch_tpu.native import KmerReader, ParallelKmerReader
+    from finch_tpu.native import KmerReader, StreamingParallelReader
 
     rng = np.random.default_rng(3)
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
@@ -194,20 +194,20 @@ def test_parallel_reader_matches_serial():
         s_pk = np.concatenate([p for p, _ in serial] or [np.empty(0)])
         s_totals = serial.totals
         for threads in (2, 5):
-            par = ParallelKmerReader(data, k=21, batch_size=777,
-                                     threads=threads)
+            par = StreamingParallelReader(data, k=21, batch_size=777,
+                                          threads=threads)
             p_pk = np.concatenate([p for p, _ in par] or [np.empty(0)])
             assert np.array_equal(s_pk, p_pk)
             assert par.totals == s_totals
 
 
 def test_parallel_reader_gz():
-    """Gzipped inputs decompress once and split identically."""
+    """Gzipped inputs stream-decompress and split identically."""
     import gzip
 
     import numpy as np
 
-    from finch_tpu.native import KmerReader, ParallelKmerReader
+    from finch_tpu.native import KmerReader, StreamingParallelReader
 
     rng = np.random.default_rng(8)
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
@@ -217,7 +217,141 @@ def test_parallel_reader_gz():
     gz = gzip.compress(fa)
     serial = KmerReader(fa, k=21, batch_size=999)
     s_pk = np.concatenate([p for p, _ in serial])
-    par = ParallelKmerReader(gz, k=21, batch_size=999, threads=3)
+    par = StreamingParallelReader(gz, k=21, batch_size=999, threads=3)
     p_pk = np.concatenate([p for p, _ in par])
     assert np.array_equal(s_pk, p_pk)
     assert par.totals == serial.totals
+
+
+# ---------------------------------------------------------------------------
+# StreamingParallelReader: native pipeline vs serial reader equivalence
+# ---------------------------------------------------------------------------
+
+def _bgzf_compress(data: bytes) -> bytes:
+    """Minimal BGZF writer (bgzip block format: gzip members with the
+    BC FEXTRA subfield carrying the block size), for tests."""
+    import struct
+    import zlib
+
+    out = []
+    for off in range(0, len(data), 0xFF00):
+        blk = data[off:off + 0xFF00]
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        comp = co.compress(blk) + co.flush()
+        bsize = len(comp) + 25 + 1  # header(18) + comp + crc(4) + isize(4)
+        header = (b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff"
+                  + struct.pack("<H", 6) + b"BC" + struct.pack("<HH", 2,
+                                                               bsize - 1))
+        out.append(header + comp
+                   + struct.pack("<II", zlib.crc32(blk), len(blk)))
+    # BGZF EOF marker block (empty payload)
+    out.append(bytes.fromhex(
+        "1f8b08040000000000ff0600424302001b0003000000000000000000"))
+    return b"".join(out)
+
+
+def _stream_equal(source_par, source_ser, k=21, threads=4,
+                  batch_size=1 << 15):
+    import os
+
+    from finch_tpu.native import KmerReader, StreamingParallelReader
+
+    # force small chunks so every test exercises the multi-chunk path
+    os.environ["FINCH_TPU_CHUNK"] = str(1 << 15)
+    try:
+        par = StreamingParallelReader(source_par, k=k, threads=threads,
+                                      batch_size=batch_size)
+    finally:
+        del os.environ["FINCH_TPU_CHUNK"]
+    pk = [b for b in par]
+    ser = KmerReader(source_ser, k=k, batch_size=batch_size)
+    sk = [b for b in ser]
+    pc = (np.concatenate([b[0] for b in pk]) if pk else np.empty(0),
+          np.concatenate([b[1] for b in pk]) if pk else np.empty(0))
+    sc = (np.concatenate([b[0] for b in sk]) if sk else np.empty(0),
+          np.concatenate([b[1] for b in sk]) if sk else np.empty(0))
+    assert (pc[0] == sc[0]).all() and (pc[1] == sc[1]).all()
+    assert par.totals == ser.totals
+    assert par.format == ser.format
+    par.close()
+    ser.close()
+
+
+def _random_fastq(rng, n_reads=4000, read_len=120) -> bytes:
+    bases = np.frombuffer(b"ACGTN", dtype=np.uint8)
+    recs = []
+    for i in range(n_reads):
+        seq = bases[rng.integers(0, 5, size=read_len)].tobytes()
+        recs.append(b"@r%d some description\n%s\n+\n%s\n"
+                    % (i, seq, b"F" * read_len))
+    return b"".join(recs)
+
+
+def _random_fasta(rng, n_recs=60, rec_len=9000) -> bytes:
+    bases = np.frombuffer(b"ACGTN", dtype=np.uint8)
+    recs = []
+    for i in range(n_recs):
+        seq = bases[rng.integers(0, 5, size=rec_len)].tobytes()
+        # multi-line records with 70-col wrapping
+        lines = [seq[j:j + 70] for j in range(0, len(seq), 70)]
+        recs.append(b">contig%d desc\n" % i + b"\n".join(lines) + b"\n")
+    return b"".join(recs)
+
+
+def test_parallel_pipeline_fastq_matches_serial():
+    rng = np.random.default_rng(11)
+    data = _random_fastq(rng)
+    _stream_equal(data, data)
+
+
+def test_parallel_pipeline_fasta_multiline_matches_serial():
+    rng = np.random.default_rng(12)
+    data = _random_fasta(rng)
+    _stream_equal(data, data)
+
+
+def test_parallel_pipeline_fastq_blank_lines_between_records():
+    """The serial parser's P_START skips blank lines between records; the
+    aligner's line walk must reproduce that."""
+    rng = np.random.default_rng(13)
+    recs = _random_fastq(rng, n_reads=500).split(b"\n+\n")
+    data = b"\n+\n".join(recs).replace(b"\n@r3", b"\n\n\n@r3")
+    _stream_equal(data, data)
+
+
+def test_parallel_pipeline_gzip_matches_serial(tmp_path):
+    import gzip as _gzip
+
+    rng = np.random.default_rng(14)
+    data = _random_fastq(rng, n_reads=2000)
+    gz = _gzip.compress(data)
+    _stream_equal(gz, data)
+    # and via a file path
+    path = tmp_path / "reads.fastq.gz"
+    path.write_bytes(gz)
+    _stream_equal(str(path), data)
+
+
+def test_parallel_pipeline_bgzf_matches_serial(tmp_path):
+    rng = np.random.default_rng(15)
+    data = _random_fasta(rng, n_recs=40, rec_len=20000)
+    bg = _bgzf_compress(data)
+    _stream_equal(bg, data)
+    path = tmp_path / "big.fa.gz"
+    path.write_bytes(bg)
+    _stream_equal(str(path), data)
+
+
+def test_parallel_pipeline_error_paths():
+    import pytest
+
+    from finch_tpu.native import NativeError, StreamingParallelReader
+
+    with pytest.raises(NativeError):
+        list(StreamingParallelReader(b"", k=21))
+    with pytest.raises(NativeError):
+        list(StreamingParallelReader(b"garbage bytes here", k=21))
+    with pytest.raises(NativeError):  # truncated fastq
+        list(StreamingParallelReader(b"@r1\nACGT\n+\n", k=2))
+    with pytest.raises(NativeError):
+        StreamingParallelReader("/no/such/file.fa", k=21)
