@@ -31,15 +31,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def generate_fastq(path: str, target_bytes: int) -> None:
-    """Vectorized synthetic FASTQ writer (~GB/s): 150bp reads, ~12x
-    coverage of a 4 Mb random genome => realistic duplicate structure for
-    the bottom-k dedup and abundance filters."""
+    """Vectorized synthetic FASTQ writer (~GB/s): 150bp reads over a
+    40 Mb random genome (metagenome-scale distinct-k-mer count, like the
+    reference's SRR5132341 benchmark input) with 1% substitution errors —
+    the error tail dominates the distinct-hash population exactly as in
+    real FASTQs, which is what makes the admission threshold effective."""
     import numpy as np
 
     rng = np.random.default_rng(42)
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
     read_len = 150
-    genome = rng.integers(0, 4, size=4_000_000, dtype=np.int64)
+    genome = rng.integers(0, 4, size=40_000_000, dtype=np.int64)
     rec_overhead = len(b"@r12345678\n\n+\n\n") + read_len
     n_reads = target_bytes // (read_len + rec_overhead)
     block = 200_000
@@ -50,8 +52,8 @@ def generate_fastq(path: str, target_bytes: int) -> None:
             starts = rng.integers(0, len(genome) - read_len, size=nb)
             idx = starts[:, None] + np.arange(read_len)[None, :]
             reads = bases[genome[idx]]
-            # 0.3% substitution errors
-            nerr = int(nb * read_len * 0.003)
+            # 1% substitution errors
+            nerr = int(nb * read_len * 0.01)
             er = rng.integers(0, nb, size=nerr)
             ec = rng.integers(0, read_len, size=nerr)
             reads[er, ec] = bases[rng.integers(0, 4, size=nerr)]
@@ -83,8 +85,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--gb", type=float, default=1.0,
                     help="synthetic FASTQ size in GB (reference used 4.8)")
-    ap.add_argument("--backend", default="numpy",
-                    choices=["numpy", "jax", "auto"])
+    ap.add_argument("--backend", default="native",
+                    choices=["numpy", "native", "jax", "auto"])
     ap.add_argument("--threads", type=int, default=None)
     ap.add_argument("--n-hashes", type=int, default=10_000)
     ap.add_argument("--keep", action="store_true",

@@ -76,7 +76,7 @@ def _add_sketch_options(p):
     p.add_argument("-N", "--no-strict", dest="no_strict", action="store_true",
                    help="Allow sketching files with fewer kmers than n_hashes")
     p.add_argument("--backend", dest="backend", default="auto",
-                   choices=["auto", "numpy", "jax"],
+                   choices=["auto", "numpy", "native", "jax"],
                    help="Compute backend (finch_tpu extension; auto picks "
                         "host for small inputs, TPU for large)")
 

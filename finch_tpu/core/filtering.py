@@ -73,3 +73,26 @@ def filter_strands(sketch, ratio_cutoff: float):
         if (lowest / k.count) >= ratio_cutoff:
             out.append(k)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Array variants (object-free fast path; bit-identical to the list forms,
+# property-pinned in tests/test_filtering.py)
+# ---------------------------------------------------------------------------
+
+def filter_strands_mask(c, e, ratio_cutoff: float):
+    """Boolean keep-mask form of filter_strands (filtering.rs:413-432)."""
+    import numpy as np
+
+    c64 = c.astype(np.float64)
+    lowest = np.minimum(e, c - e).astype(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ratio_ok = lowest / c64 >= ratio_cutoff
+    return (c < 16) | ratio_ok
+
+
+def filter_abundance_mask(c, low, high):
+    """Boolean keep-mask form of filter_abundance (filtering.rs:329-343)."""
+    lo = low if low is not None else 0
+    hi = high if high is not None else 0xFFFFFFFF
+    return (c >= lo) & (c <= hi)

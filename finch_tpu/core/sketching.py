@@ -103,12 +103,22 @@ def sketch_stream(source, name: str, sketch_params: SketchParams,
     reader.close()
 
     with get_meter("finalize").timed(1):
-        hashes = engine.finalize()
+        if hasattr(engine, "finalize_arrays"):
+            # object-free fast path: filter + truncate on arrays, build
+            # KmerCount objects only for the final (<= final_size) entries
+            arrays = engine.finalize_arrays()
+            arrays = filter_params.filter_counts_arrays(*arrays)
+            arrays = sketch_params.process_post_filter(arrays, name)
+            from finch_tpu.models.engine import kmercounts_from_arrays
+
+            filtered_hashes = kmercounts_from_arrays(sketch_params, *arrays)
+        else:
+            hashes = engine.finalize()
+            filtered_hashes = filter_params.filter_counts(hashes)
+            filtered_hashes = sketch_params.process_post_filter(
+                filtered_hashes, name)
     if metrics_enabled():
         report()
-
-    filtered_hashes = filter_params.filter_counts(hashes)
-    filtered_hashes = sketch_params.process_post_filter(filtered_hashes, name)
 
     return Sketch(
         name=name,

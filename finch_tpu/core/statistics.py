@@ -35,7 +35,14 @@ def cardinality(sketch) -> int:
 
 def hist(sketch) -> List[int]:
     """Number of kmers at each coverage level; index i = count i+1
-    (statistics.rs:30-47)."""
+    (statistics.rs:30-47). Accepts KmerCount lists, plain ints, or a
+    numpy count array (vectorized)."""
+    import numpy as np
+
+    if isinstance(sketch, np.ndarray):
+        if len(sketch) == 0:
+            return []
+        return np.bincount(sketch.astype(np.int64))[1:].tolist()
     max_count = 0
     counts = {}
     for k in sketch:

@@ -27,36 +27,51 @@ from finch_tpu.native import murmur3_packed, unpack_kmers
 from finch_tpu.core.sketch import KmerCount
 
 
-def _finalize(params: SketchParams, h, c, e, pk):
-    """Shared finalization: apply the scheme's retention rule and build the
-    ascending-hash KmerCount list (counts saturate to u32, matching the
-    reference's saturating_add accumulation)."""
+def _retention_keep(params: SketchParams, h: np.ndarray) -> int:
+    """How many leading entries of the ascending-hash candidate array the
+    scheme retains (mash: size; scaled: all <= max_hash topped up to
+    size; none: everything)."""
+    if params.sketch_type == "scaled":
+        below = int(np.searchsorted(h, np.uint64(params.max_hash()),
+                                    side="right"))
+        return below + max(0, params.kmers_to_sketch - below)
+    if params.sketch_type == "mash":
+        return params.kmers_to_sketch
+    return len(h)
+
+
+def _finalize_arrays(params: SketchParams, h, c, e, pk):
+    """Retention rule + u32 count saturation on arrays (the object-free
+    fast path; kmers stay packed until the final survivors are known)."""
     h = np.asarray(h, dtype=np.uint64)
     c = np.asarray(c, dtype=np.uint64)
     e = np.asarray(e, dtype=np.uint64)
     pk = np.asarray(pk, dtype=np.uint64)
     real = c > 0
     h, c, e, pk = h[real], c[real], e[real], pk[real]
-
-    if params.sketch_type == "scaled":
-        max_hash = params.max_hash()
-        size = params.kmers_to_sketch
-        below = int(np.searchsorted(h, np.uint64(max_hash), side="right"))
-        topup = max(0, size - below)
-        keep = below + topup
-        h, c, e, pk = h[:keep], c[:keep], e[:keep], pk[:keep]
-    elif params.sketch_type == "mash":
-        keep = params.kmers_to_sketch
-        h, c, e, pk = h[:keep], c[:keep], e[:keep], pk[:keep]
-
+    keep = _retention_keep(params, h)
+    h, c, e, pk = h[:keep], c[:keep], e[:keep], pk[:keep]
     c = np.minimum(c, np.uint64(U32_MAX)).astype(np.uint32)
     e = np.minimum(e, np.uint64(U32_MAX)).astype(np.uint32)
-    kmer_bytes = unpack_kmers(pk, params.k)
+    return h, c, e, pk
+
+
+def kmercounts_from_arrays(params: SketchParams, h, c, e, pk):
+    """Materialize KmerCount objects (ascending hash) from arrays."""
+    kmer_bytes = unpack_kmers(np.asarray(pk, dtype=np.uint64), params.k)
     return [
         KmerCount(hash=int(h[i]), kmer=bytes(kmer_bytes[i]),
                   count=int(c[i]), extra_count=int(e[i]))
         for i in range(len(h))
     ]
+
+
+def _finalize(params: SketchParams, h, c, e, pk):
+    """Shared finalization: apply the scheme's retention rule and build the
+    ascending-hash KmerCount list (counts saturate to u32, matching the
+    reference's saturating_add accumulation)."""
+    return kmercounts_from_arrays(
+        params, *_finalize_arrays(params, h, c, e, pk))
 
 
 class NumpyEngine:
@@ -128,6 +143,41 @@ class NumpyEngine:
 
     def finalize(self):
         return _finalize(self.params, self.h, self.c, self.e, self.pk)
+
+    def finalize_arrays(self):
+        return _finalize_arrays(self.params, self.h, self.c, self.e, self.pk)
+
+
+class NativeEngine:
+    """Production host path: the C++ fold (identity-hash table + adaptive
+    admission threshold, finch_native.cpp) at reference-heap speeds;
+    bit-identical to NumpyEngine (tests/test_sketchers.py pins it)."""
+
+    def __init__(self, params: SketchParams):
+        from finch_tpu.native import NativeFold
+
+        self.params = params
+        scheme = 1 if params.sketch_type == "scaled" else 0
+        max_hash = params.max_hash() if scheme else 0
+        self._fold = NativeFold(scheme, params.k, params.hash_seed,
+                                params.kmers_to_sketch, max_hash or 0)
+
+    def update(self, packed: np.ndarray, rc: np.ndarray) -> None:
+        self._fold.fold(packed, rc)
+
+    def state_arrays(self):
+        """(h, c, e, pk) retained-candidate arrays, ascending hash, with
+        the retention rule applied — interchangeable with NumpyEngine's
+        internal state for engine migration."""
+        h, c, e, pk = self._fold.result()
+        keep = _retention_keep(self.params, h)
+        return h[:keep], c[:keep], e[:keep], pk[:keep]
+
+    def finalize(self):
+        return _finalize(self.params, *self.state_arrays())
+
+    def finalize_arrays(self):
+        return _finalize_arrays(self.params, *self.state_arrays())
 
 
 class JaxEngine:
@@ -214,6 +264,16 @@ class JaxEngine:
         return _finalize(self.params, np.asarray(sh), np.asarray(sc),
                          np.asarray(se), np.asarray(spk))
 
+    def finalize_arrays(self):
+        state, _ = self._bottomk.flush_state(
+            self.state, self._mh, k=self.params.k,
+            seed=self.params.hash_seed)
+        sh, sc, se, spk = state[:4]
+        return _finalize_arrays(self.params, np.asarray(sh), np.asarray(sc),
+                                np.asarray(se), np.asarray(spk))
+
+
+
 
 class HybridEngine:
     """Host engine that migrates to the device engine for large streams.
@@ -229,7 +289,7 @@ class HybridEngine:
         self.params = params
         self.batch_size = batch_size
         self.switch_after = switch_after
-        self._host = NumpyEngine(params)
+        self._host = NativeEngine(params)
         self._dev: Optional[JaxEngine] = None
         self._seen = 0
 
@@ -237,8 +297,8 @@ class HybridEngine:
         import jax.numpy as jnp
 
         dev = JaxEngine(self.params, batch_size=self.batch_size)
-        h = self._host
-        n = len(h.h)
+        hh, hc, he, hpk = self._host.state_arrays()
+        n = len(hh)
         while dev.capacity < n:
             # scaled host state may exceed the initial device capacity
             from finch_tpu.ops import bottomk
@@ -247,10 +307,10 @@ class HybridEngine:
             dev.state = bottomk.empty_state(dev.capacity)
         sh, sc, se, spk, spill, fill = dev.state
         dev.state = (
-            sh.at[:n].set(jnp.asarray(h.h)),
-            sc.at[:n].set(jnp.asarray(h.c)),
-            se.at[:n].set(jnp.asarray(h.e)),
-            spk.at[:n].set(jnp.asarray(h.pk)),
+            sh.at[:n].set(jnp.asarray(hh)),
+            sc.at[:n].set(jnp.asarray(hc)),
+            se.at[:n].set(jnp.asarray(he)),
+            spk.at[:n].set(jnp.asarray(hpk)),
             spill, fill,
         )
         self._dev = dev
@@ -268,6 +328,9 @@ class HybridEngine:
     def finalize(self):
         return (self._host or self._dev).finalize()
 
+    def finalize_arrays(self):
+        return (self._host or self._dev).finalize_arrays()
+
 
 def _accelerator_present() -> bool:
     try:
@@ -282,10 +345,12 @@ def make_engine(params: SketchParams, backend: str = "auto",
                 batch_size: int = 1 << 21):
     if backend == "numpy":
         return NumpyEngine(params)
+    if backend == "native":
+        return NativeEngine(params)
     if backend == "jax":
         return JaxEngine(params, batch_size=batch_size)
     if backend == "auto":
         if _accelerator_present():
             return HybridEngine(params, batch_size=batch_size)
-        return NumpyEngine(params)
+        return NativeEngine(params)
     raise FinchMessageError(f"unknown backend {backend!r}")

@@ -92,7 +92,17 @@ class SketchParams:
         return None
 
     def process_post_filter(self, kmers: list, name: str) -> list:
-        """Truncate to final_size; strict check (mod.rs:115-128)."""
+        """Truncate to final_size; strict check (mod.rs:115-128). Works on
+        KmerCount lists and array 4-tuples alike."""
+        if isinstance(kmers, tuple):
+            h, c, e, pk = kmers
+            if self.sketch_type == "mash":
+                n = min(len(h), self.final_size)
+                if not self.no_strict and n < self.final_size:
+                    raise FinchMessageError(
+                        f"{name} had too few kmers ({n}) to sketch")
+                return h[:n], c[:n], e[:n], pk[:n]
+            return kmers
         if self.sketch_type == "mash":
             kmers = kmers[: self.final_size]
             if not self.no_strict and len(kmers) < self.final_size:
@@ -181,6 +191,31 @@ class FilterParams:
             filtered = filtering.filter_abundance(
                 filtered, self.abun_filter[0], self.abun_filter[1])
         return filtered
+
+    def filter_counts_arrays(self, h, c, e, pk):
+        """Array form of filter_counts: same pipeline order and abun_filter
+        mutation, on (hash, count, extra, packed) arrays — no KmerCount
+        objects until the final survivors are known."""
+        import numpy as np
+
+        from finch_tpu.core import filtering
+
+        filter_on = self.filter_on is True
+        if filter_on and self.strand_filter > 0.0:
+            m = filtering.filter_strands_mask(c, e, self.strand_filter)
+            h, c, e, pk = h[m], c[m], e[m], pk[m]
+        if filter_on and self.err_filter > 0.0:
+            cutoff = filtering.guess_filter_threshold(
+                np.asarray(c), self.err_filter)
+            low = self.abun_filter[0]
+            if low is None or cutoff > low:
+                self.abun_filter = (cutoff, self.abun_filter[1])
+        if filter_on and (self.abun_filter[0] is not None
+                          or self.abun_filter[1] is not None):
+            m = filtering.filter_abundance_mask(
+                c, self.abun_filter[0], self.abun_filter[1])
+            h, c, e, pk = h[m], c[m], e[m], pk[m]
+        return h, c, e, pk
 
     def filter_sketch(self, sketch) -> None:
         """Metadata-only update quirk (filtering.rs:20-54): runs the filters

@@ -102,6 +102,18 @@ def lib() -> ctypes.CDLL:
                 l.fn_perror_code.restype = ctypes.c_int
                 l.fn_perror_code.argtypes = [ctypes.c_void_p]
                 l.fn_pclose.argtypes = [ctypes.c_void_p]
+                l.fn_fold_new.restype = ctypes.c_void_p
+                l.fn_fold_new.argtypes = [
+                    ctypes.c_int, u32, u64, u64, u64]
+                l.fn_fold_batch.argtypes = [
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, u64]
+                l.fn_fold_used.restype = u64
+                l.fn_fold_used.argtypes = [ctypes.c_void_p]
+                l.fn_fold_result.restype = u64
+                l.fn_fold_result.argtypes = [
+                    ctypes.c_void_p, u64, ctypes.c_void_p, ctypes.c_void_p,
+                    ctypes.c_void_p, ctypes.c_void_p]
+                l.fn_fold_free.argtypes = [ctypes.c_void_p]
                 _lib = l
     return _lib
 
@@ -148,6 +160,7 @@ class KmerReader:
         self.batch_size = int(batch_size)
         self._err = ctypes.c_int(0)
         self._keepalive = None
+        self._lib = lib()
         if isinstance(path_or_bytes, (bytes, bytearray, memoryview)):
             data = bytes(path_or_bytes)
             self._keepalive = data
@@ -192,7 +205,7 @@ class KmerReader:
 
     def close(self):
         if getattr(self, "_h", None):
-            lib().fn_close(self._h)
+            self._lib.fn_close(self._h)
             self._h = None
 
     def __del__(self):
@@ -224,6 +237,7 @@ class StreamingParallelReader:
         self.batch_size = int(batch_size)
         self._err = ctypes.c_int(0)
         self._keepalive = None
+        self._lib = lib()
         if isinstance(path_or_bytes, (bytes, bytearray, memoryview)):
             data = bytes(path_or_bytes)
             self._keepalive = data
@@ -270,7 +284,47 @@ class StreamingParallelReader:
 
     def close(self):
         if getattr(self, "_h", None):
-            lib().fn_pclose(self._h)
+            self._lib.fn_pclose(self._h)
+            self._h = None
+
+    def __del__(self):
+        self.close()
+
+
+class NativeFold:
+    """Host sketch-fold state (C++ identity-hash table + adaptive
+    threshold); the CPU analog of the device bottom-k. See the fold
+    section of finch_native.cpp for the retention-rule contract."""
+
+    def __init__(self, scheme: int, k: int, seed: int, size: int,
+                 max_hash: int = 0):
+        self._lib = lib()
+        self._h = self._lib.fn_fold_new(int(scheme), int(k), int(seed),
+                                        int(size), int(max_hash))
+
+    def fold(self, packed: np.ndarray, rc: np.ndarray) -> None:
+        packed = np.ascontiguousarray(packed, dtype=np.uint64)
+        rc = np.ascontiguousarray(rc, dtype=np.uint8)
+        lib().fn_fold_batch(self._h, packed.ctypes.data, rc.ctypes.data,
+                            len(packed))
+
+    def result(self):
+        """(hashes, counts, extras, packed) ascending by hash — the raw
+        table contents (a superset of the final sketch; retention is
+        applied by the engine's finalize)."""
+        n = lib().fn_fold_used(self._h)
+        h = np.empty(n, dtype=np.uint64)
+        c = np.empty(n, dtype=np.uint64)
+        e = np.empty(n, dtype=np.uint64)
+        pk = np.empty(n, dtype=np.uint64)
+        got = lib().fn_fold_result(self._h, n, h.ctypes.data, c.ctypes.data,
+                                   e.ctypes.data, pk.ctypes.data)
+        assert got == n
+        return h, c, e, pk
+
+    def close(self):
+        if getattr(self, "_h", None):
+            self._lib.fn_fold_free(self._h)
             self._h = None
 
     def __del__(self):

@@ -1286,3 +1286,268 @@ extern "C" int fn_perror_code(void* h) {
 }
 
 extern "C" void fn_pclose(void* h) { delete (Pipeline*)h; }
+
+// ===========================================================================
+// Native host fold engine: batch k-mer stream -> bottom-k sketch state.
+//
+// The host-side analog of the device bottom-k (ops/bottomk.py), built for
+// the CPU: an identity-hashed open-addressing table (murmur outputs are
+// already uniform, cf. the reference's NoHashHasher, hashing.rs:41-64)
+// keyed by hash with (count, extra_count, first-seen packed kmer) payload,
+// plus an adaptive admission threshold.
+//
+// Retention rule (matches models/engine.py's batch semantics, derived from
+// mash.rs:34-63 / scaled.rs:37-61):
+//   mash   — the `size` smallest distinct hashes
+//   scaled — all distinct hashes <= max_hash, topped up to >= `size`
+//            entries with the smallest above-threshold hashes
+// The admission threshold only ever tightens, and anything ever admitted
+// under a stale threshold is a superset of the final sketch, so folding is
+// exact in any batch order (the monotone-max theorem, SURVEY §2.3).
+// ===========================================================================
+
+#include <algorithm>
+
+namespace fold {
+
+struct Entry {
+  uint64_t hash;
+  uint64_t count;
+  uint64_t extra;
+  uint64_t packed;
+};
+
+struct FoldState {
+  std::vector<Entry> slots;     // open addressing; occupied iff count > 0
+  uint64_t mask = 0;            // slots.size() - 1 (power of two)
+  uint64_t used = 0;
+  uint64_t thr = ~0ULL;         // admit iff hash <= thr
+  uint64_t size = 0;            // kmers_to_sketch
+  uint64_t max_hash = 0;        // scaled cutoff; scheme==0 ignores
+  int scheme = 0;               // 0 mash, 1 scaled
+  uint32_t k = 21;
+  uint64_t seed = 0;
+};
+
+static void fold_rehash(FoldState* s, uint64_t new_cap) {
+  std::vector<Entry> old;
+  old.swap(s->slots);
+  s->slots.assign(new_cap, Entry{0, 0, 0, 0});
+  s->mask = new_cap - 1;
+  s->used = 0;
+  for (const Entry& e : old) {
+    if (!e.count || e.hash > s->thr) continue;
+    uint64_t i = e.hash & s->mask;
+    while (s->slots[i].count) i = (i + 1) & s->mask;
+    s->slots[i] = e;
+    s->used++;
+  }
+}
+
+// Tighten the threshold to the retention rule's keep-target and drop
+// everything above it; grow the table if the survivors still crowd it.
+static void fold_compact(FoldState* s) {
+  std::vector<uint64_t> hashes;
+  hashes.reserve(s->used);
+  for (const Entry& e : s->slots)
+    if (e.count) hashes.push_back(e.hash);
+  uint64_t below = 0;
+  if (s->scheme == 1) {
+    for (uint64_t h : hashes) below += (h <= s->max_hash);
+  }
+  uint64_t target = below + s->size;
+  if (hashes.size() > target && target > 0) {
+    std::nth_element(hashes.begin(), hashes.begin() + (target - 1),
+                     hashes.end());
+    s->thr = hashes[target - 1];
+    // the scaled scheme may never reject a below-cutoff hash
+    if (s->scheme == 1 && s->thr < s->max_hash) s->thr = s->max_hash;
+  }
+  uint64_t survivors = target < hashes.size() ? target : hashes.size();
+  uint64_t cap = s->mask + 1;
+  while (cap > 64 && survivors * 4 < cap) cap /= 2;
+  while (survivors * 2 >= cap) cap *= 2;
+  fold_rehash(s, cap);
+}
+
+static inline void fold_insert(FoldState* s, uint64_t h, uint64_t rc,
+                               uint64_t packed) {
+  uint64_t i = h & s->mask;
+  for (;;) {
+    Entry& e = s->slots[i];
+    if (!e.count) {
+      e.hash = h;
+      e.count = 1;
+      e.extra = rc;
+      e.packed = packed;
+      s->used++;
+      if (s->used * 10 >= (s->mask + 1) * 7) {
+        fold_compact(s);  // 70% load: tighten the threshold + resize
+      }
+      return;
+    }
+    if (e.hash == h) {
+      e.count++;
+      e.extra += rc;
+      return;
+    }
+    i = (i + 1) & s->mask;
+  }
+}
+
+// Fast packed->murmur path: decode 8 bases per 512KB-table lookup instead
+// of 21 scalar byte writes. T16[i] holds the 8 ASCII bytes of the 8 2-bit
+// codes in i (first base = most-significant pair of i = least-significant
+// byte of the word, i.e. ready for little-endian murmur block loads).
+static uint64_t DECODE16[65536];
+static bool decode16_done = false;
+static void decode16_init() {
+  if (decode16_done) return;
+  for (uint32_t i = 0; i < 65536; i++) {
+    uint64_t w = 0;
+    for (int b = 0; b < 8; b++) {
+      uint32_t code = (i >> (14 - 2 * b)) & 3;
+      w |= uint64_t(BASE_ASCII[code]) << (8 * b);
+    }
+    DECODE16[i] = w;
+  }
+  decode16_done = true;
+}
+
+// MurmurHash3_x64_128 low word of a 2-bit packed k-mer, k in 1..=31,
+// bit-identical to decode-then-hash (tests pin it against the oracle).
+static inline uint64_t murmur_packed_fast(uint64_t p, uint32_t k,
+                                          uint64_t seed) {
+  const uint64_t c1 = 0x87c37b91114253d5ULL;
+  const uint64_t c2 = 0x4cf5ad432745937fULL;
+  uint64_t h1 = seed, h2 = seed;
+  const uint32_t bits = 2 * k;
+  uint64_t w0 = 0, w1 = 0, w2 = 0;
+  // group g covers bases 8g..8g+7; index = those 16 bits, left-aligned
+  // (shift the packed code so the group's first base sits at bit 15:14)
+  if (k > 0) {
+    int sh = (int)bits - 16;
+    w0 = DECODE16[(sh >= 0 ? (p >> sh) : (p << -sh)) & 0xFFFF];
+  }
+  if (k > 8) {
+    int sh = (int)bits - 32;
+    w1 = DECODE16[(sh >= 0 ? (p >> sh) : (p << -sh)) & 0xFFFF];
+  }
+  uint64_t w3 = 0;
+  if (k > 16) {
+    int sh = (int)bits - 48;
+    w2 = DECODE16[(sh >= 0 ? (p >> sh) : (p << -sh)) & 0xFFFF];
+  }
+  if (k > 24) {
+    int sh = (int)bits - 64;  // always negative for k <= 31
+    w3 = DECODE16[(p << -sh) & 0xFFFF];
+  }
+  if (k >= 16) {
+    uint64_t k1 = w0, k2 = w1;
+    k1 *= c1; k1 = rotl64(k1, 31); k1 *= c2; h1 ^= k1;
+    h1 = rotl64(h1, 27); h1 += h2; h1 = h1 * 5 + 0x52dce729ULL;
+    k2 *= c2; k2 = rotl64(k2, 33); k2 *= c1; h2 ^= k2;
+    h2 = rotl64(h2, 31); h2 += h1; h2 = h2 * 5 + 0x38495ab5ULL;
+    uint32_t t = k - 16;  // tail <= 15 bytes in (w2, w3)
+    if (t) {
+      if (t > 8) {
+        uint64_t k2t = w3 & ((1ULL << (8 * (t - 8))) - 1);
+        k2t *= c2; k2t = rotl64(k2t, 33); k2t *= c1; h2 ^= k2t;
+      }
+      uint64_t k1t = t >= 8 ? w2 : (w2 & ((1ULL << (8 * t)) - 1));
+      k1t *= c1; k1t = rotl64(k1t, 31); k1t *= c2; h1 ^= k1t;
+    }
+  } else {
+    // k < 16: tail-only, bytes split (w0 low 8, w1 next)
+    uint32_t t = k;
+    uint64_t k1 = t >= 8 ? w0 : (w0 & ((1ULL << (8 * t)) - 1));
+    if (t > 8) {
+      uint64_t k2 = w1 & ((t - 8) >= 8 ? ~0ULL
+                                       : ((1ULL << (8 * (t - 8))) - 1));
+      k2 *= c2; k2 = rotl64(k2, 33); k2 *= c1; h2 ^= k2;
+    }
+    k1 *= c1; k1 = rotl64(k1, 31); k1 *= c2; h1 ^= k1;
+  }
+  h1 ^= (uint64_t)k; h2 ^= (uint64_t)k;
+  h1 += h2; h2 += h1;
+  h1 = fmix64(h1); h2 = fmix64(h2);
+  h1 += h2;
+  return h1;
+}
+
+}  // namespace fold
+
+extern "C" void* fn_fold_new(int scheme, uint32_t k, uint64_t seed,
+                             uint64_t size, uint64_t max_hash) {
+  fold::FoldState* s = new fold::FoldState();
+  s->scheme = scheme;
+  s->k = k;
+  s->seed = seed;
+  s->size = size;
+  s->max_hash = max_hash;
+  // pure scaled (size 0): only hashes <= max_hash are ever retained, so
+  // admit exactly those from the start (engine.py _threshold parity);
+  // size-0 mash admits nothing (handled in fn_fold_batch)
+  if (scheme == 1 && size == 0) s->thr = max_hash;
+  uint64_t cap = 1024;
+  while (cap < size / 4) cap *= 2;
+  s->slots.assign(cap, fold::Entry{0, 0, 0, 0});
+  s->mask = cap - 1;
+  return s;
+}
+
+extern "C" void fn_fold_batch(void* h, const uint64_t* packed,
+                              const uint8_t* rc, uint64_t n) {
+  fold::FoldState* s = (fold::FoldState*)h;
+  if (s->scheme == 0 && s->size == 0) return;  // admit nothing
+  fold::decode16_init();
+  const uint32_t k = s->k;
+  const uint64_t seed = s->seed;
+  // block-wise: hash a block, software-prefetch the admitted slots, then
+  // insert — overlaps the table's random-access latency across the block
+  const uint64_t B = 32;
+  uint64_t hs[B];
+  for (uint64_t base = 0; base < n; base += B) {
+    uint64_t m = n - base < B ? n - base : B;
+    const uint64_t thr = s->thr;
+    for (uint64_t j = 0; j < m; j++) {
+      hs[j] = fold::murmur_packed_fast(packed[base + j], k, seed);
+      if (hs[j] <= thr)
+        __builtin_prefetch(&s->slots[hs[j] & s->mask], 1, 1);
+    }
+    for (uint64_t j = 0; j < m; j++) {
+      if (hs[j] <= s->thr)
+        fold::fold_insert(s, hs[j], rc[base + j], packed[base + j]);
+    }
+  }
+}
+
+// Number of live entries (call before fn_fold_result to size buffers).
+extern "C" uint64_t fn_fold_used(void* h) {
+  return ((fold::FoldState*)h)->used;
+}
+
+// Emit entries sorted ascending by hash. Returns count written (<= cap).
+extern "C" uint64_t fn_fold_result(void* h, uint64_t cap, uint64_t* out_h,
+                                   uint64_t* out_c, uint64_t* out_e,
+                                   uint64_t* out_pk) {
+  fold::FoldState* s = (fold::FoldState*)h;
+  std::vector<fold::Entry> live;
+  live.reserve(s->used);
+  for (const fold::Entry& e : s->slots)
+    if (e.count) live.push_back(e);
+  std::sort(live.begin(), live.end(),
+            [](const fold::Entry& a, const fold::Entry& b) {
+              return a.hash < b.hash;
+            });
+  uint64_t n = live.size() < cap ? live.size() : cap;
+  for (uint64_t i = 0; i < n; i++) {
+    out_h[i] = live[i].hash;
+    out_c[i] = live[i].count;
+    out_e[i] = live[i].extra;
+    out_pk[i] = live[i].packed;
+  }
+  return n;
+}
+
+extern "C" void fn_fold_free(void* h) { delete (fold::FoldState*)h; }

@@ -20,7 +20,7 @@ GOLDEN_KMERS = [
 ]
 
 
-@pytest.mark.parametrize("backend", ["numpy", "jax"])
+@pytest.mark.parametrize("backend", ["numpy", "native", "jax"])
 def test_golden_mash(query_fa_path, backend):
     """cli/tests/test_cli.rs:117-149 (finch_sketch_mash golden kmers)."""
     params = SketchParams.mash(kmers_to_sketch=10, final_size=10,
@@ -34,7 +34,7 @@ def test_golden_mash(query_fa_path, backend):
     assert s.num_valid_kmers == 339
 
 
-@pytest.mark.parametrize("backend", ["numpy", "jax"])
+@pytest.mark.parametrize("backend", ["numpy", "native", "jax"])
 def test_golden_scaled(query_fa_path, backend):
     """cli/tests/test_cli.rs:81-114 (finch_sketch_scaled golden kmers)."""
     params = SketchParams.scaled(kmers_to_sketch=10, kmer_length=21,
@@ -91,7 +91,7 @@ def test_scaled_invariant_pure():
     assert all(a[0] <= max_hash for a in q.to_vec())
 
 
-@pytest.mark.parametrize("backend", ["numpy", "jax"])
+@pytest.mark.parametrize("backend", ["numpy", "native", "jax"])
 @pytest.mark.parametrize("scheme", ["mash", "scaled"])
 def test_batch_equals_streaming_property(backend, scheme):
     """Batched engines are hash/count/extra-identical to the streaming heap."""
@@ -246,3 +246,62 @@ def test_scaled_below_bound_grow():
     a = [(x.hash, x.count, x.extra_count) for x in ref.finalize()]
     b = [(x.hash, x.count, x.extra_count) for x in jx.finalize()]
     assert a == b
+
+
+def test_native_fold_equals_numpy_property():
+    """NativeEngine (C++ fold) is bit-identical to NumpyEngine across
+    random streams, duplicate bursts, and both schemes — including the
+    adaptive-threshold compaction path (small sizes force many
+    compactions)."""
+    from finch_tpu.models.engine import NativeEngine, NumpyEngine
+
+    rng = np.random.default_rng(77)
+    for scheme, size, scale in [("mash", 16, None), ("mash", 500, None),
+                                ("scaled", 8, 0.01), ("scaled", 0, 0.05)]:
+        if scheme == "mash":
+            params = SketchParams.mash(kmers_to_sketch=size,
+                                       final_size=max(size, 1),
+                                       no_strict=True)
+        else:
+            params = SketchParams.scaled(kmers_to_sketch=size, scale=scale)
+        ne, npy = NativeEngine(params), NumpyEngine(params)
+        for _ in range(6):
+            n = int(rng.integers(1, 4000))
+            pk = rng.integers(0, 1 << 42, size=n, dtype=np.uint64)
+            # duplicate bursts: repeat a slice
+            if n > 10:
+                pk[: n // 3] = pk[n // 3: 2 * (n // 3)]
+            rc = rng.integers(0, 2, size=n, dtype=np.uint8)
+            ne.update(pk, rc)
+            npy.update(pk, rc)
+        a = ne.finalize_arrays()
+        b = npy.finalize_arrays()
+        for x, y in zip(a, b):
+            assert np.array_equal(x, y), (scheme, size)
+
+
+def test_array_filter_path_equals_object_path():
+    """filter_counts_arrays + array process_post_filter produce the same
+    final sketch as the KmerCount-object pipeline."""
+    from finch_tpu.core.sketch import KmerCount
+    from finch_tpu.models.engine import kmercounts_from_arrays
+
+    rng = np.random.default_rng(99)
+    n = 5000
+    h = np.sort(rng.choice(1 << 50, size=n, replace=False).astype(np.uint64))
+    c = rng.integers(1, 40, size=n, dtype=np.uint32)
+    e = (c * rng.random(n)).astype(np.uint32)
+    pk = rng.integers(0, 1 << 42, size=n, dtype=np.uint64)
+    params = SketchParams.mash(kmers_to_sketch=n, final_size=800,
+                               no_strict=True)
+
+    fp1 = FilterParams(filter_on=True, err_filter=0.21, strand_filter=0.1)
+    arrays = fp1.filter_counts_arrays(h, c, e, pk)
+    arrays = params.process_post_filter(arrays, "x")
+    got = kmercounts_from_arrays(params, *arrays)
+
+    objs = kmercounts_from_arrays(params, h, c, e, pk)
+    fp2 = FilterParams(filter_on=True, err_filter=0.21, strand_filter=0.1)
+    want = params.process_post_filter(fp2.filter_counts(objs), "x")
+    assert got == want
+    assert fp1.abun_filter == fp2.abun_filter
