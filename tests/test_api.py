@@ -206,3 +206,126 @@ def test_multisketch_filter_to_names_and_save_roundtrip(tmp_path, query_fa_path)
     ms.save(str(tmp_path / "db.msh"))
     from finch_tpu.serialization.finch_bsk import read_finch_file
     assert len(read_finch_file((tmp_path / "db.msh").read_bytes())) == 1
+
+
+def test_multisketch_iteration_is_cow():
+    """Accessing members defers the pyo3-style clone to first mutation:
+    mutations through an accessed Sketch never reach the collection, and
+    iterating a large DB does not deep-copy every member."""
+    import time
+
+    ms = _ms_with(["a", "b"])
+    view = ms[0]
+    view.name = "changed"
+    assert ms[0].name == "a"          # collection untouched (python.rs:156)
+    view2 = next(iter(ms))
+    view2.counts = [0] * len(view2.counts)
+    assert len(ms[0].counts) == len(_ms_with(["a"])[0].counts)
+
+    # add() demotes the wrapper to a COW view (python.rs:196 clone-on-add)
+    s = ms[1]
+    ms.add(s)
+    s.name = "mutated-after-add"
+    assert ms[2].name == "b"
+
+    # O(1) access: iterating many members must not scale with hash count
+    big = _ms_with([f"s{i}" for i in range(50)])
+    t0 = time.perf_counter()
+    for _ in range(20):
+        for item in big:
+            pass
+    assert time.perf_counter() - t0 < 1.0
+
+
+def _ms_with(names):
+    import finch_tpu.api as finch
+    from finch_tpu.core.sketch import KmerCount, Sketch as CoreSketch
+    from finch_tpu.models.params import FilterParams, SketchParams
+
+    rng = np.random.default_rng(5)
+    sketches = []
+    for nm in names:
+        hs = np.sort(rng.choice(2 ** 50, size=64, replace=False)
+                     .astype(np.uint64))
+        kcs = [KmerCount(hash=int(h), kmer=b"A" * 21, count=2,
+                         extra_count=1) for h in hs]
+        sketches.append(CoreSketch(
+            name=nm, seq_length=10, num_valid_kmers=10, comment="",
+            hashes=kcs, filter_params=FilterParams(),
+            sketch_params=SketchParams.mash(kmers_to_sketch=64,
+                                            final_size=64, no_strict=True)))
+    return finch.Multisketch(sketches)
+
+
+def test_compare_counts_closed_form_matches_streaming_loop():
+    """The vectorized compare_counts must equal the reference's streaming
+    walk exactly (incl. f64 moment rounding) on random sketches."""
+    import finch_tpu.api as finch
+
+    rng = np.random.default_rng(17)
+    for trial in range(10):
+        na, nb = rng.integers(1, 200, size=2)
+        pool = rng.choice(2 ** 30, size=na + nb, replace=False)
+        ha = np.sort(pool[:na].astype(np.uint64))
+        # force overlap
+        hb = np.sort(np.unique(np.concatenate(
+            [pool[na:].astype(np.uint64),
+             rng.choice(ha, size=min(na, 37), replace=False)])))
+        a = _sk("a", ha, rng)
+        b = _sk("b", hb, rng)
+        got = a.compare_counts(b)
+        want = _streaming_compare_counts(a.s.hashes, b.s.hashes)
+        assert got == want, trial
+
+
+def _sk(name, hashes, rng):
+    import finch_tpu.api as finch
+    from finch_tpu.core.sketch import KmerCount, Sketch as CoreSketch
+    from finch_tpu.models.params import FilterParams, SketchParams
+
+    kcs = [KmerCount(hash=int(h), kmer=b"C" * 21,
+                     count=int(rng.integers(1, 50)),
+                     extra_count=0) for h in hashes]
+    core = CoreSketch(name=name, seq_length=0, num_valid_kmers=0,
+                      comment="", hashes=kcs,
+                      filter_params=FilterParams(),
+                      sketch_params=SketchParams.mash(
+                          kmers_to_sketch=len(kcs) or 1,
+                          final_size=len(kcs) or 1, no_strict=True))
+    return finch.Sketch("", _core=core)
+
+
+def _streaming_compare_counts(reference, query):
+    """Transcription of the original streaming loop (python.rs:496-559)
+    kept as the oracle for the closed-form implementation."""
+    import math
+
+    common = ref_pos = ref_count = query_pos = query_count = 0
+    q_mean = q_m2 = q_m3 = q_m4 = 0.0
+    while ref_pos < len(reference) and query_pos < len(query):
+        if reference[ref_pos].hash < query[query_pos].hash:
+            ref_pos += 1
+        elif query[query_pos].hash < reference[ref_pos].hash:
+            query_pos += 1
+        else:
+            ref_count += reference[ref_pos].count
+            query_count += query[query_pos].count
+            n = common + 1.0
+            fc = float(query[query_pos].count)
+            delta = fc - q_mean
+            delta_n = delta / n
+            delta_n2 = delta_n * delta_n
+            term1 = delta * delta_n * (n - 1.0)
+            q_mean += delta_n
+            q_m4 += (term1 * delta_n2 * (n * n - 3.0 * n + 3.0)
+                     + 6.0 * delta_n2 * q_m2 - 4.0 * delta_n * q_m3)
+            q_m3 += term1 * delta_n * (n - 2.0) - 3.0 * delta_n * q_m2
+            q_m2 += term1
+            ref_pos += 1
+            query_pos += 1
+            common += 1
+    var = q_m2 / common if common else math.nan
+    skew = (math.sqrt(common) * q_m3 / q_m2 ** 1.5) if q_m2 else math.nan
+    kurt = (common * q_m4 / (q_m2 * q_m2) - 3.0) if q_m2 else math.nan
+    return (common, ref_pos, query_pos, ref_count, query_count, var,
+            skew, kurt)
