@@ -76,9 +76,10 @@ def _add_sketch_options(p):
     p.add_argument("-N", "--no-strict", dest="no_strict", action="store_true",
                    help="Allow sketching files with fewer kmers than n_hashes")
     p.add_argument("--backend", dest="backend", default="auto",
-                   choices=["auto", "numpy", "native", "jax"],
+                   choices=["auto", "numpy", "native", "jax", "mesh"],
                    help="Compute backend (finch_tpu extension; auto picks "
-                        "host for small inputs, TPU for large)")
+                        "host for small inputs, single-TPU for large, "
+                        "mesh when several chips are visible)")
 
 
 def build_cli() -> argparse.ArgumentParser:
@@ -397,6 +398,13 @@ def _calc_distances_batched(queries, refs,
     scale = queries[0].sketch_params.hash_info()[3]
     scale = scale if scale is not None else 0.0
     k = float(queries[0].sketch_params.k)
+
+    if queries is refs or (len(queries) == len(refs)
+                           and all(a is b for a, b in zip(queries, refs))):
+        # pairwise all-vs-all: one global sort + Gram matmuls on the MXU
+        # (parallel/mxu_dist.py) instead of N^2 pair merges
+        return _calc_distances_gram(refs, scale, k, max_distance)
+
     qh = [q.hash_array() for q in queries]
     distances = []
     # chunk the ref axis so peak memory stays bounded (three (Q, chunk)
@@ -418,6 +426,31 @@ def _calc_distances_batched(queries, refs,
                     ref_sketch.name)
                 if d.mash_distance <= max_distance:
                     distances.append(d)
+    return distances
+
+
+def _calc_distances_gram(sketches, scale: float, k: float,
+                         max_distance: float) -> List[SketchDistance]:
+    """All-vs-all via the Gram-matrix engine; output order matches the
+    serial ref-major/query-minor loop (main.rs:315-334)."""
+    from finch_tpu.core.distance import distance_from_stats
+    from finch_tpu.parallel.mxu_dist import all_pairs_stats, pack_db
+
+    H, L = pack_db([s.hash_array() for s in sketches])
+    common, i_m, j_m = all_pairs_stats(H, L, scale=scale)
+    distances = []
+    for jr, ref_sketch in enumerate(sketches):
+        for iq, query_sketch in enumerate(sketches):
+            # struct-equality self-skip like main.rs:322 (duplicate
+            # sketches at different indices are skipped too)
+            if iq == jr or (query_sketch.name == ref_sketch.name
+                            and query_sketch == ref_sketch):
+                continue
+            d = distance_from_stats(
+                int(common[iq, jr]), int(i_m[iq, jr]), int(j_m[iq, jr]),
+                k, query_sketch.name, ref_sketch.name)
+            if d.mash_distance <= max_distance:
+                distances.append(d)
     return distances
 
 

@@ -99,7 +99,7 @@ def sketch_stream(source, name: str, sketch_params: SketchParams,
         # AllCounts never updates total_bases (counts.rs:8,25-33) and counts
         # valid kmers via the (saturating) table sum (counts.rs:35-40)
         seq_length = 0
-        num_valid_kmers = int(np.minimum(engine.counts, 0xFFFFFFFF).sum())
+        num_valid_kmers = engine.num_valid_kmers()
     reader.close()
 
     with get_meter("finalize").timed(1):

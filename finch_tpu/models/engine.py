@@ -341,6 +341,20 @@ def _accelerator_present() -> bool:
         return False
 
 
+def _mesh_engine(params: SketchParams, batch_size: int):
+    """Data-parallel sketching over every visible device
+    (parallel/sharded_sketch.py); bit-identical to the host engines."""
+    import jax
+
+    from finch_tpu.parallel import ShardedSketchEngine, make_mesh
+
+    n = len(jax.devices())
+    mesh = make_mesh(n)
+    return ShardedSketchEngine(
+        params, mesh,
+        batch_size_per_device=max(batch_size // n, 1 << 14))
+
+
 def make_engine(params: SketchParams, backend: str = "auto",
                 batch_size: int = 1 << 21):
     if backend == "numpy":
@@ -349,8 +363,15 @@ def make_engine(params: SketchParams, backend: str = "auto",
         return NativeEngine(params)
     if backend == "jax":
         return JaxEngine(params, batch_size=batch_size)
+    if backend == "mesh":
+        return _mesh_engine(params, batch_size)
     if backend == "auto":
         if _accelerator_present():
+            import jax
+
+            if len(jax.devices()) > 1:
+                # multi-chip host: shard the stream over the whole mesh
+                return _mesh_engine(params, batch_size)
             return HybridEngine(params, batch_size=batch_size)
         return NativeEngine(params)
     raise FinchMessageError(f"unknown backend {backend!r}")

@@ -1347,6 +1347,11 @@ static void fold_rehash(FoldState* s, uint64_t new_cap) {
 // Tighten the threshold to the retention rule's keep-target and drop
 // everything above it; grow the table if the survivors still crowd it.
 static void fold_compact(FoldState* s) {
+  if (s->scheme == 2) {
+    // counts mode retains every distinct key: only grow, never tighten
+    fold_rehash(s, (s->mask + 1) * 2);
+    return;
+  }
   std::vector<uint64_t> hashes;
   hashes.reserve(s->used);
   for (const Entry& e : s->slots)
@@ -1477,6 +1482,7 @@ static inline uint64_t murmur_packed_fast(uint64_t p, uint32_t k,
 
 }  // namespace fold
 
+// scheme: 0 = mash (bottom-k), 1 = scaled, 2 = counts (key = packed code)
 extern "C" void* fn_fold_new(int scheme, uint32_t k, uint64_t seed,
                              uint64_t size, uint64_t max_hash) {
   fold::FoldState* s = new fold::FoldState();
@@ -1503,6 +1509,14 @@ extern "C" void fn_fold_batch(void* h, const uint64_t* packed,
   fold::decode16_init();
   const uint32_t k = s->k;
   const uint64_t seed = s->seed;
+  if (s->scheme == 2) {
+    // counts mode (AllCounts / sketch-type none, counts.rs:25-33): the
+    // key IS the packed forward-strand code — exact per-k-mer counts
+    // with no hash involved, any k <= 31
+    for (uint64_t i = 0; i < n; i++)
+      fold::fold_insert(s, packed[i], 0, packed[i]);
+    return;
+  }
   // block-wise: hash a block, software-prefetch the admitted slots, then
   // insert — overlaps the table's random-access latency across the block
   const uint64_t B = 32;

@@ -1,0 +1,369 @@
+"""All-vs-all sketch intersection as run-indicator matmuls on the MXU.
+
+TPU-native restructuring of `finch dist --pairwise` at DB scale
+(reference: a serial per-pair two-pointer merge over every (query, ref)
+combination, /root/reference/lib/src/distance.rs:66-126 driven by
+main.rs:315-334). Instead of N^2 pairwise merges, observe that the whole
+common-count matrix is a Gram matrix:
+
+    common = M @ M.T      where M[n, d] = 1 iff distinct hash d ∈ sketch n
+
+and M's rows only interact through hashes shared by >= 2 sketches. So:
+
+  1. ONE global sort of all (hash, sketch_id) pairs groups equal hashes
+     into runs (the TPU-friendly replacement for N^2 pointer walks).
+  2. Runs of length 1 (hashes unique to one sketch) contribute nothing
+     off-diagonal and are dropped; the diagonal is just the sketch sizes.
+  3. The surviving (run, sketch) incidences form E, a (runs x N) 0/1
+     block matrix built run-block by run-block; common += E_blk.T @ E_blk
+     on the MXU (bf16 inputs are exact 0/1; f32 accumulation is exact for
+     counts < 2^24).
+
+The i/j pointer-end counts decompose per pair as #{h <= m} with
+m = min(max_q, max_r) (see core/distance.py's closed form), computed by
+batched searchsorted of the sketch-maxima vector into each row — O(N^2)
+output, O(N K + N^2) work, no pairwise merges.
+
+Cost scales with actual sharing (sum of run sizes >= 2), not with
+N^2 K: disjoint DBs cost one sort; heavily-overlapping DBs turn into
+dense MXU work at ~10^14 MAC/s. Exactness is property-tested against
+core/distance.py (tests/test_mxu_dist.py).
+
+Sharding: run-blocks are independent, so the E-matmul loop data-parallels
+over a mesh axis with a single psum at the end (`sharded_common`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from finch_tpu.models.params import U64_MAX
+
+__all__ = ["all_pairs_stats", "all_pairs_common", "pack_db"]
+
+
+def pack_db(sketch_hashes: List[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
+    """Stack variable-length sorted hash arrays into (N, K) u64 with
+    U64_MAX padding + (N,) lengths."""
+    n = len(sketch_hashes)
+    k = max((len(h) for h in sketch_hashes), default=1)
+    out = np.full((n, max(k, 1)), U64_MAX, dtype=np.uint64)
+    lens = np.zeros(n, dtype=np.int32)
+    for i, h in enumerate(sketch_hashes):
+        out[i, : len(h)] = h
+        lens[i] = len(h)
+    return out, lens
+
+
+# ---------------------------------------------------------------------------
+# phase 1: global sort -> shared-hash incidences (run_id, sketch_id)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cap",))
+def _shared_incidences(hashes: jnp.ndarray, sid: jnp.ndarray, cap: int):
+    """Sort (hash, sid); keep elements whose hash occurs >= 2 times
+    (pads at U64_MAX never duplicate real hashes and pad-pad runs are
+    masked); compact them to the front of fixed-size (cap,) arrays.
+
+    Returns (run_id i32[cap], sid i32[cap], n_shared i32, n_runs i32).
+    run_ids are dense (0..n_runs-1) over the shared elements only.
+    """
+    hs, ss = lax.sort((hashes, sid), num_keys=1)
+    real = hs != jnp.uint64(U64_MAX)
+    prev_eq = jnp.concatenate(
+        [jnp.zeros(1, jnp.bool_), hs[1:] == hs[:-1]])
+    next_eq = jnp.concatenate(
+        [hs[1:] == hs[:-1], jnp.zeros(1, jnp.bool_)])
+    multi = (prev_eq | next_eq) & real
+    # dense run ids over shared elements: new run where multi & !prev_eq
+    new_run = multi & ~prev_eq
+    rid = jnp.cumsum(new_run.astype(jnp.int32)) - 1
+    n_shared = jnp.sum(multi.astype(jnp.int32))
+    n_runs = jnp.sum(new_run.astype(jnp.int32))
+    # compact (stable sort by !multi keeps hash order within the kept set)
+    key = (~multi).astype(jnp.int32)
+    _, rid_c, sid_c = lax.sort((key, rid, ss), num_keys=1)
+    return rid_c[:cap], sid_c[:cap], n_shared, n_runs
+
+
+# ---------------------------------------------------------------------------
+# phase 2: E-block Gram accumulation on the MXU
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("n_sketches", "page"))
+def _gram_accumulate(rid: jnp.ndarray, sid: jnp.ndarray, n_shared,
+                     n_sketches: int, page: int):
+    """common (N, N) f32 = sum over element pages of E_page^T @ E_page.
+
+    Pages are cut at run boundaries (a page never splits a run, so every
+    run's full outer product lands in exactly one Gram term). Row space =
+    dense within-page run index; since every run has >= 2 elements, a
+    page of P elements holds <= P/2 runs. `page` must exceed the longest
+    possible run (= n_sketches: a run holds each sketch at most once).
+
+    Scatter conflicts cannot occur (distinct hashes per sketch), and the
+    overflow row/column absorb masked lanes so no index is ever clamped.
+    """
+    cap = rid.shape[0]
+    BIG = jnp.int32(2 ** 31 - 1)
+    valid = jnp.arange(cap, dtype=jnp.int32) < n_shared
+    # pad by one page of BIG so a slice starting at any e0 < cap stays
+    # in-bounds (dynamic_slice would otherwise clamp the start backwards
+    # and re-cover already-processed runs)
+    rid = jnp.concatenate([jnp.where(valid, rid, BIG),
+                           jnp.full(page + 1, BIG, jnp.int32)])
+    sid = jnp.concatenate([sid, jnp.zeros(page + 1, jnp.int32)])
+    RB = page // 2 + 2
+
+    def cond(c):
+        _, e0 = c
+        return e0 < n_shared
+
+    def body(c):
+        common, e0 = c
+        sl_r = lax.dynamic_slice(rid, (e0,), (page,))
+        sl_s = lax.dynamic_slice(sid, (e0,), (page,))
+        last = sl_r[page - 1]
+        nxt = lax.dynamic_slice(rid, (e0 + page,), (1,))[0]
+        # exclude the run that straddles the page end (it moves whole to
+        # the next page); pads (BIG) are excluded the same way
+        ends_clean = (nxt != last) & (last != BIG)
+        n_valid = jnp.where(
+            ends_clean, jnp.int32(page),
+            jnp.searchsorted(sl_r, last).astype(jnp.int32))
+        newr = jnp.concatenate(
+            [jnp.ones(1, jnp.bool_), sl_r[1:] != sl_r[:-1]])
+        rows = jnp.cumsum(newr.astype(jnp.int32)) - 1
+        ok = jnp.arange(page, dtype=jnp.int32) < n_valid
+        rows = jnp.where(ok, jnp.minimum(rows, RB - 1), RB - 1)
+        cols = jnp.where(ok, sl_s, jnp.int32(n_sketches))
+        E = jnp.zeros((RB, n_sketches + 1), jnp.float32)
+        E = E.at[rows, cols].add(1.0)
+        Eb = E[: RB - 1, :n_sketches].astype(jnp.bfloat16)
+        common = common + jnp.dot(Eb.T, Eb,
+                                  preferred_element_type=jnp.float32)
+        return common, e0 + jnp.maximum(n_valid, 1)
+
+    common0 = jnp.zeros((n_sketches, n_sketches), jnp.float32)
+    common, _ = lax.while_loop(cond, body, (common0, jnp.int32(0)))
+    return common
+
+
+def all_pairs_common(hashes_padded: np.ndarray, lengths: np.ndarray,
+                     run_block: int = 2048,
+                     batch_elems: Optional[int] = None) -> np.ndarray:
+    """Exact |q ∩ r| for all sketch pairs. (N, N) int64; the diagonal is
+    the sketch sizes.
+
+    `batch_elems` bounds the size of each global sort (memory); element
+    batches are exact because intersections only need pairs *within* a
+    batch when batches split the hash SPACE, so we batch by hash range:
+    sort once conceptually — implemented as one sort when the DB fits
+    (the common case; 10k x 1k = 10M elements ~ 160MB), else range-split.
+    """
+    n, k = hashes_padded.shape
+    flat_h = jnp.asarray(hashes_padded.reshape(-1))
+    flat_s = jnp.tile(jnp.arange(n, dtype=jnp.int32)[:, None],
+                      (1, k)).reshape(-1)
+    cap = flat_h.shape[0]
+    rid, sid, n_shared, _ = _shared_incidences(flat_h, flat_s, cap)
+    # page must exceed the longest possible run (n: one element per
+    # sketch max) unless the whole incidence list is smaller than that
+    page = 2
+    while page < max(run_block, n + 1):
+        page *= 2
+    page = min(page, max(int(cap), 2))
+    common = _gram_accumulate(rid, sid, n_shared, n, page)
+    common = np.asarray(common, dtype=np.int64)
+    np.fill_diagonal(common, np.asarray(lengths, dtype=np.int64))
+    return common
+
+
+# ---------------------------------------------------------------------------
+# phase 3: i/j pointer-end counts
+# ---------------------------------------------------------------------------
+
+def _below_counts(hashes_padded: np.ndarray, lengths: np.ndarray,
+                  thresholds: np.ndarray, side: str = "right") -> np.ndarray:
+    """counts[n, t] = number of hashes in sketch n that are <=
+    thresholds[t] (side 'right') or strictly below (side 'left').
+
+    One searchsorted of ALL elements into the sorted threshold vector +
+    a per-row bin histogram + cumsum - O(NK log N + N^2), no per-row
+    Python calls (a 10k x 10k below-matrix builds in ~1s instead of the
+    22s a per-row searchsorted loop took). Pads (U64_MAX) land in the
+    overflow bin of every threshold and contribute nothing (genuine
+    u64::MAX hashes are rejected by callers upstream).
+    """
+    n, k = hashes_padded.shape
+    m = len(thresholds)
+    order = np.argsort(thresholds, kind="stable")
+    sm = thresholds[order]
+    flat = hashes_padded.reshape(-1)
+    # bin(h) = number of sorted thresholds the element does NOT count
+    # toward; it counts toward threshold ranks >= bin(h)
+    ss_side = "left" if side == "right" else "right"
+    bins = np.searchsorted(sm, flat, ss_side).astype(np.int64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), k)
+    hist = np.bincount(rows * (m + 1) + bins,
+                       minlength=n * (m + 1)).reshape(n, m + 1)
+    # counts fit i32 (<= k per row); halving the element width halves the
+    # traffic of the cumsum and the column un-permute gather
+    csum = np.cumsum(hist[:, :m].astype(np.int32), axis=1)
+    inv = np.empty(m, dtype=np.int64)
+    inv[order] = np.arange(m)
+    return csum.take(inv, axis=1)
+
+
+def all_pairs_stats(hashes_padded: np.ndarray, lengths: np.ndarray,
+                    scale: float = 0.0, run_block: int = 2048):
+    """(common, i, j) int64 (N, N) matrices with raw_distance semantics:
+    i[q, r] = #{q's hashes <= min(max_q, max_r)} plus the scaled-tail
+    advance past hashes < max_hash (distance.rs:99-115); j = transpose
+    role. Self-pairs are included (callers skip them like main.rs:322)."""
+    from finch_tpu.core.distance import scale_recip_max_hash
+
+    n = hashes_padded.shape[0]
+    lengths = np.asarray(lengths, dtype=np.int64)
+    common = all_pairs_common(hashes_padded, lengths, run_block=run_block)
+
+    maxima = np.array(
+        [hashes_padded[i, lengths[i] - 1] if lengths[i] else np.uint64(0)
+         for i in range(n)], dtype=np.uint64)
+    # below[q, r] = #{q <= max_r}
+    below = _below_counts(hashes_padded, lengths, maxima, side="right")
+    # m = min(max_q, max_r): i = #{q <= m} = min(below[q, r], len_q) with
+    # the convention that when max_q <= max_r, #{q <= m} = len_q
+    i_mat = np.minimum(below, lengths[:, None])
+    j_mat = i_mat.T.copy()
+
+    empty = lengths == 0
+    if empty.any():
+        i_mat[empty, :] = 0
+        i_mat[:, empty] = 0
+        j_mat[empty, :] = 0
+        j_mat[:, empty] = 0
+
+    if scale > 0.0:
+        # scaled-tail rule (distance.rs:99-115): advance both pointers
+        # past hashes strictly below max_hash
+        max_hash = np.uint64(scale_recip_max_hash(scale))
+        sb = _below_counts(
+            hashes_padded, lengths, np.array([max_hash], dtype=np.uint64),
+            side="left")[:, 0]
+        i_mat = np.maximum(i_mat, sb[:, None])   # query side
+        j_mat = np.maximum(j_mat, sb[None, :])   # ref side
+    return common, i_mat, j_mat
+
+
+# ---------------------------------------------------------------------------
+# mesh-sharded Gram: element ranges (cut at run boundaries) per device
+# ---------------------------------------------------------------------------
+
+def sharded_common(hashes_padded: np.ndarray, lengths: np.ndarray,
+                   mesh, axis: Optional[str] = None,
+                   run_block: int = 2048) -> np.ndarray:
+    """all_pairs_common over a jax Mesh: the incidence list is computed
+    once (replicated — sorts are cheap relative to the Gram), each device
+    Grams a contiguous element range aligned to run boundaries, and a
+    single psum combines the (N, N) partials over ICI."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    if axis is None:
+        axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    n, k = hashes_padded.shape
+    flat_h = jnp.asarray(hashes_padded.reshape(-1))
+    flat_s = jnp.tile(jnp.arange(n, dtype=jnp.int32)[:, None],
+                      (1, k)).reshape(-1)
+    cap = int(flat_h.shape[0])
+    rid, sid, n_shared, _ = _shared_incidences(flat_h, flat_s, cap)
+
+    page = 2
+    while page < max(run_block, n + 1):
+        page *= 2
+    page = min(page, max(cap, 2))
+
+    def device_fn(rid, sid, n_shared):
+        d = lax.axis_index(axis)
+        # beyond n_shared the compacted rid values are not sorted (they
+        # are singleton-run leftovers); mask them before binary search
+        big = jnp.int32(2 ** 31 - 1)
+        rid_m = jnp.where(jnp.arange(cap, dtype=jnp.int32) < n_shared,
+                          rid, big)
+        lo_nom = (d * cap // n_dev).astype(jnp.int32)
+        hi_nom = ((d + 1) * cap // n_dev).astype(jnp.int32)
+        # a boundary moves to the start of the run containing its nominal
+        # position, applied identically on both sides -> exact partition
+        lo = jnp.searchsorted(rid_m, rid_m[lo_nom]).astype(jnp.int32)
+        hi = jnp.where(hi_nom >= cap, jnp.int32(cap),
+                       jnp.searchsorted(
+                           rid_m, rid_m[jnp.minimum(hi_nom, cap - 1)])
+                       .astype(jnp.int32))
+        local = _gram_range(rid_m, sid, n_shared, lo, hi, n, page)
+        return lax.psum(local, axis)
+
+    fn = shard_map(device_fn, mesh=mesh,
+                   in_specs=(P(), P(), P()), out_specs=P(),
+                   check_vma=False)
+    common = np.asarray(fn(rid, sid, n_shared), dtype=np.int64)
+    np.fill_diagonal(common, np.asarray(lengths, dtype=np.int64))
+    return common
+
+
+@partial(jax.jit, static_argnames=("n_sketches", "page"))
+def _gram_range(rid, sid, n_shared, lo, hi, n_sketches: int, page: int):
+    """_gram_accumulate restricted to elements [lo, hi)."""
+    # pin the loop-carry dtype (x64 mode promotes mixed scalar arithmetic)
+    lo = lo.astype(jnp.int32)
+    hi = hi.astype(jnp.int32)
+    n_shared = n_shared.astype(jnp.int32)
+    cap = rid.shape[0]
+    BIG = jnp.int32(2 ** 31 - 1)
+    valid = jnp.arange(cap, dtype=jnp.int32) < n_shared
+    rid = jnp.concatenate([jnp.where(valid, rid, BIG),
+                           jnp.full(page + 1, BIG, jnp.int32)])
+    sid = jnp.concatenate([sid, jnp.zeros(page + 1, jnp.int32)])
+    RB = page // 2 + 2
+    end = jnp.minimum(hi, n_shared)
+
+    def cond(c):
+        _, e0 = c
+        return e0 < end
+
+    def body(c):
+        common, e0 = c
+        sl_r = lax.dynamic_slice(rid, (e0,), (page,))
+        sl_s = lax.dynamic_slice(sid, (e0,), (page,))
+        last = sl_r[page - 1]
+        nxt = lax.dynamic_slice(rid, (e0 + page,), (1,))[0]
+        ends_clean = (nxt != last) & (last != BIG)
+        n_valid = jnp.where(
+            ends_clean, jnp.int32(page),
+            jnp.searchsorted(sl_r, last).astype(jnp.int32))
+        # never cross the range end (end is run-aligned by construction)
+        n_valid = jnp.minimum(n_valid, end - e0)
+        newr = jnp.concatenate(
+            [jnp.ones(1, jnp.bool_), sl_r[1:] != sl_r[:-1]])
+        rows = jnp.cumsum(newr.astype(jnp.int32)) - 1
+        ok = jnp.arange(page, dtype=jnp.int32) < n_valid
+        rows = jnp.where(ok, jnp.minimum(rows, RB - 1), RB - 1)
+        cols = jnp.where(ok, sl_s, jnp.int32(n_sketches))
+        E = jnp.zeros((RB, n_sketches + 1), jnp.float32)
+        E = E.at[rows, cols].add(1.0)
+        Eb = E[: RB - 1, :n_sketches].astype(jnp.bfloat16)
+        common = common + jnp.dot(Eb.T, Eb,
+                                  preferred_element_type=jnp.float32)
+        return common, e0 + jnp.maximum(n_valid, 1)
+
+    common0 = jnp.zeros((n_sketches, n_sketches), jnp.float32)
+    common, _ = lax.while_loop(cond, body, (common0, lo))
+    return common

@@ -176,12 +176,19 @@ class ShardedSketchEngine:
                           old[5])
             self.capacity = new_cap
 
-    def finalize(self):
-        from finch_tpu.models.engine import _finalize
-
+    def _merged_arrays(self):
         merged = _sharded_finalize(self.state, mesh=self.mesh,
                                    axis=self.axis, k=self.params.k,
                                    seed=self.params.hash_seed)
         # every shard row holds the same merged result; take row 0
-        h, c, e, pkk = (np.asarray(x)[0] for x in merged[:4])
-        return _finalize(self.params, h, c, e, pkk)
+        return tuple(np.asarray(x)[0] for x in merged[:4])
+
+    def finalize(self):
+        from finch_tpu.models.engine import _finalize
+
+        return _finalize(self.params, *self._merged_arrays())
+
+    def finalize_arrays(self):
+        from finch_tpu.models.engine import _finalize_arrays
+
+        return _finalize_arrays(self.params, *self._merged_arrays())

@@ -1,0 +1,90 @@
+"""Exactness of the MXU Gram-matrix all-vs-all distance engine
+(parallel/mxu_dist.py) against the serial closed-form engine
+(core/distance.py), including the scaled-tail rule, empty sketches, and
+the mesh-sharded range partition."""
+
+import numpy as np
+import pytest
+
+from finch_tpu.core.distance import raw_distance_arrays
+from finch_tpu.parallel.mxu_dist import (all_pairs_common, all_pairs_stats,
+                                         pack_db, sharded_common)
+
+
+def _random_db(rng, n_sketches, pool_size, max_k, with_empty=True):
+    pool = rng.choice(1 << 40, size=pool_size, replace=False).astype(np.uint64)
+    sketches = []
+    for _ in range(n_sketches):
+        k = int(rng.integers(1, max_k))
+        sketches.append(np.sort(rng.choice(pool, size=min(k, pool_size),
+                                           replace=False)))
+    if with_empty:
+        sketches.append(np.empty(0, dtype=np.uint64))
+    return sketches
+
+
+def _check_exact(sketches, scale):
+    H, L = pack_db(sketches)
+    common, i_m, j_m = all_pairs_stats(H, L, scale=scale)
+    n = len(sketches)
+    for a in range(n):
+        assert common[a, a] == len(sketches[a])
+        for b in range(n):
+            if a == b:
+                continue
+            cont0, jac0, cm0, tot0 = raw_distance_arrays(
+                sketches[a], sketches[b], scale)
+            cont = 0.0 if j_m[a, b] == 0 else common[a, b] / j_m[a, b]
+            tot = i_m[a, b] - common[a, b] + j_m[a, b]
+            jac = 1.0 if tot == 0 else common[a, b] / tot
+            assert (cont, jac, common[a, b], tot) == (cont0, jac0, cm0, tot0), \
+                (a, b, scale)
+
+
+@pytest.mark.parametrize("scale", [0.0, 0.01])
+@pytest.mark.parametrize("overlap", ["high", "low", "none"])
+def test_all_pairs_exact_vs_serial(scale, overlap):
+    rng = np.random.default_rng(hash((scale, overlap)) % (2 ** 31))
+    pool = {"high": 500, "low": 20_000, "none": 10 ** 6}[overlap]
+    sketches = _random_db(rng, 20, pool, 150)
+    _check_exact(sketches, scale)
+
+
+def test_all_pairs_duplicate_run_spanning_pages():
+    """A hash shared by EVERY sketch makes the longest possible run; with
+    a tiny run_block the page-cut logic must still keep runs whole."""
+    rng = np.random.default_rng(9)
+    sketches = _random_db(rng, 30, 5000, 100, with_empty=False)
+    shared = np.uint64(12345)
+    sketches = [np.sort(np.unique(np.append(s, shared))) for s in sketches]
+    H, L = pack_db(sketches)
+    common = all_pairs_common(H, L, run_block=4)
+    for a in range(len(sketches)):
+        for b in range(len(sketches)):
+            if a == b:
+                continue
+            want = len(np.intersect1d(sketches[a], sketches[b],
+                                      assume_unique=True))
+            assert common[a, b] == want, (a, b)
+
+
+def test_all_pairs_identical_sketches():
+    rng = np.random.default_rng(2)
+    s = np.sort(rng.choice(1 << 40, size=80, replace=False).astype(np.uint64))
+    H, L = pack_db([s, s.copy(), s.copy()])
+    common = all_pairs_common(H, L)
+    assert (common == 80).all()
+
+
+def test_sharded_common_matches_unsharded():
+    import jax
+    from jax.sharding import Mesh
+
+    rng = np.random.default_rng(31)
+    sketches = _random_db(rng, 24, 800, 120)
+    H, L = pack_db(sketches)
+    want = all_pairs_common(H, L)
+    devs = np.array(jax.devices())
+    mesh = Mesh(devs, ("d",))
+    got = sharded_common(H, L, mesh)
+    assert np.array_equal(got, want)

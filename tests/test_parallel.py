@@ -85,3 +85,41 @@ def test_all_vs_all_matches_host():
                 assert got_total == total, (qi, ri, scale)
                 gj = int(j[qi, ri])
                 assert (0.0 if gj == 0 else int(common[qi, ri]) / gj) == cont
+
+
+def test_cli_sketch_mesh_backend_bit_equal(tmp_path):
+    """`finch-tpu sketch --backend mesh` on an 8-device virtual mesh is
+    byte-identical to the single-device host engine (VERDICT item 4:
+    the CLI is the user entrypoint; the mesh path must be reachable
+    from it)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env["FINCH_TPU_PLATFORM"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8")
+
+    outs = {}
+    for backend in ("numpy", "mesh"):
+        proc = subprocess.run(
+            [sys.executable, "-m", "finch_tpu.cli", "sketch", "--n-hashes",
+             "10", "-O", "tests/data/query.fa", "--backend", backend],
+            capture_output=True, env=env, cwd=repo)
+        assert proc.returncode == 0, proc.stderr.decode()
+        outs[backend] = proc.stdout
+    assert outs["mesh"] == outs["numpy"]
+
+    # scaled scheme through the mesh too
+    for backend in ("numpy", "mesh"):
+        proc = subprocess.run(
+            [sys.executable, "-m", "finch_tpu.cli", "sketch", "-s", "scaled",
+             "--n-hashes", "10", "-O", "tests/data/query.fa",
+             "--backend", backend],
+            capture_output=True, env=env, cwd=repo)
+        assert proc.returncode == 0, proc.stderr.decode()
+        outs[backend] = proc.stdout
+    assert outs["mesh"] == outs["numpy"]

@@ -305,3 +305,44 @@ def test_array_filter_path_equals_object_path():
     want = params.process_post_filter(fp2.filter_counts(objs), "x")
     assert got == want
     assert fp1.abun_filter == fp2.abun_filter
+
+
+def test_allcounts_sparse_matches_dense():
+    """The k>15 sparse counts path must produce exactly what the dense
+    4^k table produces (cross-checked at a k where both run)."""
+    from finch_tpu.models.allcounts import AllCountsEngine
+
+    rng = np.random.default_rng(21)
+    k = 8
+    params = SketchParams.all_counts(kmer_length=k)
+    dense = AllCountsEngine(params)
+    sparse = AllCountsEngine(params)
+    sparse.counts = None
+    from finch_tpu.native import NativeFold
+
+    sparse._fold = NativeFold(2, k, 0, 0, 0)
+    for _ in range(4):
+        pk = rng.integers(0, 4 ** k, size=3000, dtype=np.uint64)
+        z = np.zeros(len(pk), dtype=np.uint8)
+        dense.update(pk, z)
+        sparse.update(pk, z)
+    d = [(x.hash, x.kmer, x.count, x.extra_count) for x in dense.finalize()]
+    s = [(x.hash, x.kmer, x.count, x.extra_count) for x in sparse.finalize()]
+    assert d == s
+    assert dense.num_valid_kmers() == sparse.num_valid_kmers()
+
+
+def test_allcounts_large_k_end_to_end():
+    """sketch-type none with k=21 (reference would need a 4^21 table,
+    ~17 TB; counts.rs:14-21): the sparse path handles it."""
+    from finch_tpu import FilterParams, SketchParams
+    from finch_tpu.core.sketching import sketch_bytes
+
+    fa = b">r\nACGTACGTTGCAACGTACGTACGTTGCAACGGATCCAGTCAGTACAGT\n"
+    params = SketchParams.all_counts(kmer_length=21)
+    s = sketch_bytes(fa, "x", params, FilterParams(filter_on=False))
+    assert len(s.hashes) > 0
+    assert s.seq_length == 0          # counts.rs:8: never updated
+    # forward-strand k-mer of the record must appear with its packed code
+    kmers = {kc.kmer for kc in s.hashes}
+    assert b"ACGTACGTTGCAACGTACGTA" in kmers or len(kmers) >= 20
