@@ -87,11 +87,38 @@ def main() -> None:
         t_big = min(t_big, dt)
 
     kmers_per_sec = batch * 2 * timed_steps / max(t_big - t_small, 1e-9)
+
+    # adversarial duplicate-burst stream: every value appears 64x within
+    # each batch (xor-perturbation preserves within-batch equality), so
+    # the dedup/merge stages carry maximum load while the prefilter's
+    # uniform-hash assumption is broken
+    dup_pool = jnp.tile(pool[: batch // 64], 64)
+    state = bottomk.empty_state(cap)
+    state = run(state, dup_pool, rc, jnp.int32(0), jnp.int32(warm_steps))
+    sync(state)
+
+    def timed_dup(nsteps):
+        nonlocal start
+        t0 = time.perf_counter()
+        s = run(state, dup_pool, rc, jnp.int32(start), jnp.int32(nsteps))
+        sync(s)
+        start += nsteps
+        return time.perf_counter() - t0, s
+
+    td_small = td_big = float("inf")
+    for _ in range(2):
+        dt, state = timed_dup(timed_steps)
+        td_small = min(td_small, dt)
+        dt, state = timed_dup(3 * timed_steps)
+        td_big = min(td_big, dt)
+    worst = batch * 2 * timed_steps / max(td_big - td_small, 1e-9)
+
     print(json.dumps({
         "metric": "kmers_sketched_per_sec_per_chip",
         "value": round(kmers_per_sec, 1),
         "unit": "kmers/s/chip",
         "vs_baseline": round(kmers_per_sec / BASELINE_KMERS_PER_SEC, 3),
+        "worst_case_dup64": round(worst, 1),
     }))
 
 

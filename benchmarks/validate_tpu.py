@@ -40,6 +40,61 @@ def main() -> None:
         assert a == b, f"DIVERGENCE at capacity {cap}"
         print(f"capacity {cap}: device == oracle over "
               f"{4 * (1 << 21)} kmers (kernel={jx._use_kernel})")
+
+    # scaled scheme on the kernel path (incl. the grow-and-redo rail)
+    sparams = SketchParams.scaled(kmers_to_sketch=256, scale=1e-4)
+    js = JaxEngine(sparams, batch_size=1 << 21)
+    ns = NumpyEngine(sparams)
+    for _ in range(3):
+        pk = rng.integers(0, 4 ** 21, size=1 << 21, dtype=np.uint64)
+        rc = rng.integers(0, 2, size=1 << 21, dtype=np.uint8)
+        js.update(pk, rc)
+        ns.update(pk, rc)
+    a = [(k.hash, k.count) for k in js.finalize()]
+    b = [(k.hash, k.count) for k in ns.finalize()]
+    assert a == b, "DIVERGENCE: scaled kernel path"
+    print(f"scaled: device == oracle ({len(a)} entries, "
+          f"kernel={js._use_kernel})")
+
+    # single-chip "mesh": ShardedSketchEngine machinery on real hardware
+    import jax
+
+    from finch_tpu.parallel import ShardedSketchEngine, make_mesh
+
+    mesh = make_mesh(len(jax.devices()))
+    params = SketchParams.mash(kmers_to_sketch=2000, final_size=500,
+                               no_strict=True)
+    se = ShardedSketchEngine(params, mesh, batch_size_per_device=1 << 20)
+    ne = NumpyEngine(params)
+    for _ in range(2):
+        pk = rng.integers(0, 4 ** 21, size=1 << 21, dtype=np.uint64)
+        rc = rng.integers(0, 2, size=1 << 21, dtype=np.uint8)
+        se.update(pk, rc)
+        ne.update(pk, rc)
+    a = [(k.hash, k.count) for k in se.finalize()]
+    b = [(k.hash, k.count) for k in ne.finalize()]
+    assert a == b, "DIVERGENCE: sharded engine on device"
+    print(f"sharded engine: device == oracle over {mesh.devices.size} "
+          f"device(s)")
+
+    # Gram-matrix distance engine on real hardware vs the serial engine
+    from finch_tpu.core.distance import raw_distance_arrays
+    from finch_tpu.parallel.mxu_dist import all_pairs_stats, pack_db
+
+    db = [np.sort(rng.choice(1 << 48, size=int(rng.integers(50, 300)),
+                             replace=False).astype(np.uint64))
+          for _ in range(12)]
+    H, L = pack_db(db)
+    common, i_m, j_m = all_pairs_stats(H, L, scale=0.0)
+    for qa in range(len(db)):
+        for qb in range(len(db)):
+            if qa == qb:
+                continue
+            c0, j0, cm, tot = raw_distance_arrays(db[qa], db[qb], 0.0)
+            got_tot = i_m[qa, qb] - common[qa, qb] + j_m[qa, qb]
+            assert (common[qa, qb], got_tot) == (cm, tot),                 f"DIVERGENCE: Gram dist at pair {qa},{qb}"
+    print("Gram distance engine: device == serial on "
+          f"{len(db)}x{len(db)} pairs")
     print("validate_tpu OK")
 
 

@@ -71,6 +71,17 @@ def _sharded_finalize(state, *, mesh, axis, k, seed):
     )(state)
 
 
+@jax.jit
+def _grow_cols(old, template, old_cap: int):
+    return jnp.concatenate([old, template[:, old_cap:]], axis=1)
+
+
+@jax.jit
+def _copy_spill(old_sp, new_sp):
+    return jax.lax.dynamic_update_slice(
+        new_sp, old_sp, (jnp.int32(0), jnp.int32(0)))
+
+
 class ShardedSketchEngine:
     """Mesh-parallel analog of models.engine.JaxEngine.
 
@@ -80,11 +91,26 @@ class ShardedSketchEngine:
     """
 
     def __init__(self, params: SketchParams, mesh: Mesh,
-                 axis: str = "data", batch_size_per_device: int = 1 << 20):
+                 axis: str = "data", batch_size_per_device: int = 1 << 20,
+                 process_local: bool = False):
+        """process_local=True: multi-host mode — every process calls
+        update() with ITS OWN portion of the stream (equal batch shapes
+        across processes; pad the final batch), state rows live on the
+        process's addressable devices, and the finalize all-gather merges
+        globally over ICI/DCN. Exactness is order-independent (the
+        monotone-max theorem), so any split of the stream is exact.
+        See parallel/distributed.py for initialization."""
         self.params = params
         self.mesh = mesh
         self.axis = axis
         self.n = mesh.devices.size
+        self.process_local = process_local
+        if process_local:
+            import jax as _jax
+
+            self.n_local = self.n // _jax.process_count()
+        else:
+            self.n_local = self.n
         self.size = params.kmers_to_sketch
         self.max_hash = params.max_hash()
         self.bpd = batch_size_per_device
@@ -98,11 +124,19 @@ class ShardedSketchEngine:
                     else jnp.uint64(0))
         self._use_kernel = bottomk.auto_use_kernel()
 
+    def _put(self, local_rows: np.ndarray):
+        """Place (n_local, ...) process-local rows as the process's part
+        of the globally (axis-0) sharded array."""
+        if self.process_local:
+            return jax.make_array_from_process_local_data(
+                self._sharding, local_rows)
+        return jax.device_put(local_rows, self._sharding)
+
     def _empty_state(self, capacity):
-        n = self.n
+        n = self.n_local
         sp = bottomk.spill_capacity(capacity)
-        mk = lambda shape, fill, dt: jax.device_put(
-            np.full(shape, fill, dtype=dt), self._sharding)
+        mk = lambda shape, fill, dt: self._put(
+            np.full(shape, fill, dtype=dt))
         u64max = np.uint64(0xFFFFFFFFFFFFFFFF)
         return (mk((n, capacity), u64max, np.uint64),
                 mk((n, capacity), 0, np.uint64),
@@ -113,7 +147,7 @@ class ShardedSketchEngine:
 
     def update(self, packed: np.ndarray, rc: np.ndarray) -> None:
         total = len(packed)
-        per_dev_cap = self.n * self.bpd
+        per_dev_cap = self.n_local * self.bpd
         for off in range(0, max(total, 1), per_dev_cap):
             chunk_pk = packed[off: off + per_dev_cap]
             chunk_rc = rc[off: off + per_dev_cap]
@@ -130,9 +164,12 @@ class ShardedSketchEngine:
         return bucket_pow2(n)
 
     def _step(self, pk: np.ndarray, rc: np.ndarray) -> None:
-        n = self.n
+        n = self.n_local
         total = len(pk)
-        per_shard = self._bucket((total + n - 1) // n)
+        # multi-process: the jitted program's shapes must agree across
+        # processes, so the shard width is the fixed bpd, not data-derived
+        per_shard = (self._bucket(self.bpd) if self.process_local
+                     else self._bucket((total + n - 1) // n))
         pk_pad = np.zeros((n, per_shard), dtype=np.uint64)
         rc_pad = np.zeros((n, per_shard), dtype=np.uint8)
         nvalid = np.zeros((n,), dtype=np.uint32)
@@ -143,9 +180,9 @@ class ShardedSketchEngine:
                 pk_pad[i, :cnt] = pk[sl]
                 rc_pad[i, :cnt] = rc[sl]
             nvalid[i] = cnt
-        pk_d = jax.device_put(pk_pad, self._sharding)
-        rc_d = jax.device_put(rc_pad, self._sharding)
-        nv_d = jax.device_put(nvalid, self._sharding)
+        pk_d = self._put(pk_pad)
+        rc_d = self._put(rc_pad)
+        nv_d = self._put(nvalid)
         is_scaled = self.params.sketch_type == "scaled"
         while True:
             new_state, below = _sharded_step(
@@ -163,25 +200,28 @@ class ShardedSketchEngine:
             new_cap = max(self.capacity * 2, below_total + self.size)
             old = self.state
             tmpl = self._empty_state(new_cap)
+            # grow on device (axis 1 is unsharded, so concatenation is
+            # shard-local and works in multi-process mode too)
             grown = [
-                jax.device_put(np.concatenate(
-                    [np.asarray(o), np.asarray(t)[:, self.capacity:]],
-                    axis=1), self._sharding)
+                _grow_cols(o, t, self.capacity)
                 for o, t in zip(old[:4], tmpl[:4])]
-            # carry spill contents into the (possibly larger) new spill
-            old_sp = np.asarray(old[4])
-            new_sp = np.array(np.asarray(tmpl[4]))  # writable copy
-            new_sp[:, :old_sp.shape[1]] = old_sp
-            self.state = (*grown, jax.device_put(new_sp, self._sharding),
-                          old[5])
+            new_sp = _copy_spill(old[4], tmpl[4])
+            self.state = (*grown, new_sp, old[5])
             self.capacity = new_cap
 
     def _merged_arrays(self):
         merged = _sharded_finalize(self.state, mesh=self.mesh,
                                    axis=self.axis, k=self.params.k,
                                    seed=self.params.hash_seed)
-        # every shard row holds the same merged result; take row 0
-        return tuple(np.asarray(x)[0] for x in merged[:4])
+        # every shard row holds the same merged result; read it from this
+        # process's first addressable shard (multi-process safe)
+        out = []
+        for x in merged[:4]:
+            if self.process_local:
+                out.append(np.asarray(x.addressable_shards[0].data)[0])
+            else:
+                out.append(np.asarray(x)[0])
+        return tuple(out)
 
     def finalize(self):
         from finch_tpu.models.engine import _finalize

@@ -123,3 +123,77 @@ def test_cli_sketch_mesh_backend_bit_equal(tmp_path):
         assert proc.returncode == 0, proc.stderr.decode()
         outs[backend] = proc.stdout
     assert outs["mesh"] == outs["numpy"]
+
+
+def test_multiprocess_distributed_sketch(tmp_path):
+    """Real jax.distributed multi-process run: 2 processes x 4 virtual CPU
+    devices form one 8-device global mesh; each process folds ITS half of
+    the k-mer stream with ShardedSketchEngine(process_local=True); the
+    all-gather finalize merges across processes (Gloo collectives) and
+    rank 0's result must be bit-identical to the single-host oracle.
+    This exercises the actual communication backend (SURVEY §2.3), which
+    a single-process virtual mesh cannot."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = tmp_path / "worker.py"
+    out = tmp_path / "rank0.npz"
+    port = 19000 + (os.getpid() % 900)
+    worker.write_text(f'''
+import os, sys
+pid = int(sys.argv[1])
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address="localhost:{port}",
+                           num_processes=2, process_id=pid)
+import numpy as np
+sys.path.insert(0, {repo!r})
+from finch_tpu.models.params import SketchParams
+from finch_tpu.parallel import ShardedSketchEngine
+from finch_tpu.parallel.distributed import global_mesh
+
+mesh = global_mesh()
+assert mesh.devices.size == 8
+params = SketchParams.mash(kmers_to_sketch=64, final_size=64,
+                           no_strict=True)
+eng = ShardedSketchEngine(params, mesh, batch_size_per_device=256,
+                          process_local=True)
+rng = np.random.default_rng(77)
+pk = rng.integers(0, 4 ** 21, size=4096, dtype=np.uint64)
+rc = rng.integers(0, 2, size=4096, dtype=np.uint8)
+half = len(pk) // 2
+sl = slice(0, half) if pid == 0 else slice(half, None)
+eng.update(pk[sl], rc[sl])
+ks = eng.finalize()
+if pid == 0:
+    np.savez({str(out)!r},
+             h=np.array([k.hash for k in ks], dtype=np.uint64),
+             c=np.array([k.count for k in ks], dtype=np.uint64),
+             e=np.array([k.extra_count for k in ks], dtype=np.uint64))
+''')
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(i)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        env={**os.environ, "PYTHONPATH": repo})
+        for i in range(2)]
+    for pr in procs:
+        _, err = pr.communicate(timeout=240)
+        assert pr.returncode == 0, err.decode()[-2000:]
+
+    from finch_tpu.models.engine import NumpyEngine
+    from finch_tpu.models.params import SketchParams
+
+    rng = np.random.default_rng(77)
+    pk = rng.integers(0, 4 ** 21, size=4096, dtype=np.uint64)
+    rc = rng.integers(0, 2, size=4096, dtype=np.uint8)
+    ne = NumpyEngine(SketchParams.mash(kmers_to_sketch=64, final_size=64,
+                                       no_strict=True))
+    ne.update(pk, rc)
+    want = ne.finalize()
+    got = np.load(str(out))
+    assert got["h"].tolist() == [k.hash for k in want]
+    assert got["c"].tolist() == [k.count for k in want]
+    assert got["e"].tolist() == [k.extra_count for k in want]
