@@ -47,6 +47,24 @@ def _choose_reader(source, k: int, canonical: bool, batch_size: int,
                       batch_size=batch_size)
 
 
+def _fused_native_ok(source, sketch_params: SketchParams,
+                     backend: str) -> bool:
+    """The fused C++ parse+fold pipeline applies when the work is
+    host-bound (native backend, or auto without an accelerator), the
+    source is a path, and the scheme folds by hash (not AllCounts)."""
+    if sketch_params.sketch_type == "none":
+        return False
+    if isinstance(source, (bytes, bytearray, memoryview)):
+        return False
+    if backend == "native":
+        return True
+    if backend == "auto":
+        from finch_tpu.models.engine import _accelerator_present
+
+        return not _accelerator_present()
+    return False
+
+
 def sketch_stream(source, name: str, sketch_params: SketchParams,
                   filters: FilterParams, backend: str = "auto",
                   batch_size: int = 1 << 21,
@@ -55,6 +73,9 @@ def sketch_stream(source, name: str, sketch_params: SketchParams,
     from finch_tpu.utils import get_meter, metrics_enabled, report
 
     filter_params = filters.copy()
+    if _fused_native_ok(source, sketch_params, backend):
+        return _sketch_stream_fused(source, name, sketch_params,
+                                    filter_params, parser_threads)
     engine = _make_engine(sketch_params, backend, batch_size)
     canonical = sketch_params.sketch_type != "none"
     reader = _choose_reader(source, sketch_params.k, canonical, batch_size,
@@ -120,6 +141,46 @@ def sketch_stream(source, name: str, sketch_params: SketchParams,
     if metrics_enabled():
         report()
 
+    return Sketch(
+        name=name,
+        seq_length=seq_length,
+        num_valid_kmers=num_valid_kmers,
+        comment="",
+        hashes=filtered_hashes,
+        filter_params=filter_params,
+        sketch_params=sketch_params,
+    )
+
+
+def _sketch_stream_fused(source, name: str, sketch_params: SketchParams,
+                         filter_params: FilterParams,
+                         parser_threads: Optional[int]) -> Sketch:
+    """One native call: parse workers fold record-aligned chunks into
+    per-worker tables under a shared admission threshold; exact merge at
+    EOF (finch_native.cpp sketch mode). Parse AND fold scale across
+    cores with no per-batch Python hop."""
+    from finch_tpu.models.engine import (_finalize_arrays,
+                                         kmercounts_from_arrays)
+    from finch_tpu.native import FORMAT_FASTQ as FQ, sketch_pipeline
+    from finch_tpu.utils import get_meter, metrics_enabled, report
+
+    scheme = 1 if sketch_params.sketch_type == "scaled" else 0
+    max_hash = sketch_params.max_hash() if scheme else 0
+    with get_meter("fused_parse_fold").timed(1):
+        arrays, totals, fmt = sketch_pipeline(
+            source, sketch_params.k, scheme, sketch_params.hash_seed,
+            sketch_params.kmers_to_sketch, max_hash or 0,
+            threads=parser_threads)
+    seq_length, num_valid_kmers, _ = totals
+    if filter_params.filter_on is None:
+        filter_params.filter_on = fmt == FQ
+    with get_meter("finalize").timed(1):
+        arrays = _finalize_arrays(sketch_params, *arrays)
+        arrays = filter_params.filter_counts_arrays(*arrays)
+        arrays = sketch_params.process_post_filter(arrays, name)
+        filtered_hashes = kmercounts_from_arrays(sketch_params, *arrays)
+    if metrics_enabled():
+        report()
     return Sketch(
         name=name,
         seq_length=seq_length,

@@ -114,6 +114,21 @@ def lib() -> ctypes.CDLL:
                     ctypes.c_void_p, u64, ctypes.c_void_p, ctypes.c_void_p,
                     ctypes.c_void_p, ctypes.c_void_p]
                 l.fn_fold_free.argtypes = [ctypes.c_void_p]
+                l.fn_sopen_path.restype = ctypes.c_void_p
+                l.fn_sopen_path.argtypes = [
+                    ctypes.c_char_p, u32, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_int, u64, u64, u64, p(ctypes.c_int)]
+                l.fn_swait.restype = ctypes.c_int
+                l.fn_swait.argtypes = [
+                    ctypes.c_void_p, p(u64), p(u64), p(u64), p(u64),
+                    p(ctypes.c_int)]
+                l.fn_sresult.restype = u64
+                l.fn_sresult.argtypes = [
+                    ctypes.c_void_p, u64, ctypes.c_void_p, ctypes.c_void_p,
+                    ctypes.c_void_p, ctypes.c_void_p]
+                l.fn_serror.restype = ctypes.c_int
+                l.fn_serror.argtypes = [ctypes.c_void_p]
+                l.fn_sclose.argtypes = [ctypes.c_void_p]
                 _lib = l
     return _lib
 
@@ -329,3 +344,51 @@ class NativeFold:
 
     def __del__(self):
         self.close()
+
+
+def sketch_pipeline(path, k: int, scheme: int, seed: int, size: int,
+                    max_hash: int = 0, canonical: bool = True,
+                    threads: int | None = None):
+    """Fused parse+fold over the native pipeline: parse workers fold
+    their record-aligned chunks into worker-local tables under a shared
+    adaptive admission threshold; exact merge at EOF (see the sketch-mode
+    section of finch_native.cpp for the proof sketch).
+
+    Returns ((h, c, e, pk) candidate arrays ascending by hash — a
+    retention-rule superset — plus (bases, kmers, records) totals and the
+    detected format).
+    """
+    if threads is None:
+        threads = int(os.environ.get("FINCH_TPU_PARSER_THREADS", "0")) \
+            or (os.cpu_count() or 1)
+    l = lib()
+    err = ctypes.c_int(0)
+    h = l.fn_sopen_path(str(path).encode(), int(k),
+                        1 if canonical else 0, int(threads), int(scheme),
+                        int(seed), int(size), int(max_hash),
+                        ctypes.byref(err))
+    if not h:
+        raise NativeError(_ERRORS.get(err.value, "open failed"))
+    try:
+        n = ctypes.c_uint64(0)
+        bases = ctypes.c_uint64(0)
+        kmers = ctypes.c_uint64(0)
+        recs = ctypes.c_uint64(0)
+        fmt = ctypes.c_int(0)
+        r = l.fn_swait(h, ctypes.byref(n), ctypes.byref(bases),
+                       ctypes.byref(kmers), ctypes.byref(recs),
+                       ctypes.byref(fmt))
+        if r != 0:
+            code = l.fn_serror(h)
+            raise NativeError(_ERRORS.get(code, f"parse error {code}"))
+        hh = np.empty(n.value, dtype=np.uint64)
+        cc = np.empty(n.value, dtype=np.uint64)
+        ee = np.empty(n.value, dtype=np.uint64)
+        pk = np.empty(n.value, dtype=np.uint64)
+        got = l.fn_sresult(h, n.value, hh.ctypes.data, cc.ctypes.data,
+                           ee.ctypes.data, pk.ctypes.data)
+        assert got == n.value
+        return ((hh, cc, ee, pk),
+                (bases.value, kmers.value, recs.value), fmt.value)
+    finally:
+        l.fn_sclose(h)

@@ -579,6 +579,7 @@ extern "C" int fn_error(void* h) { return ((Parser*)h)->err; }
 // ===========================================================================
 
 #include <atomic>
+#include <chrono>
 #include <condition_variable>
 #include <deque>
 #include <memory>
@@ -1329,6 +1330,16 @@ struct FoldState {
   uint64_t seed = 0;
 };
 
+// Slot index: a multiplicative scramble of the (already uniform) hash.
+// A pure identity map (slot = h & mask) suffers catastrophic primary
+// clustering when keys arrive in ascending-low-bit order — exactly what
+// iterating another fold table produces during merges (measured: 12k
+// probes/insert). The odd-constant multiply is a bijection that breaks
+// ordered runs for ~1 cycle.
+static inline uint64_t fold_slot(uint64_t h, uint64_t mask) {
+  return (h * 0x9E3779B97F4A7C15ULL) & mask;
+}
+
 static void fold_rehash(FoldState* s, uint64_t new_cap) {
   std::vector<Entry> old;
   old.swap(s->slots);
@@ -1337,7 +1348,7 @@ static void fold_rehash(FoldState* s, uint64_t new_cap) {
   s->used = 0;
   for (const Entry& e : old) {
     if (!e.count || e.hash > s->thr) continue;
-    uint64_t i = e.hash & s->mask;
+    uint64_t i = fold_slot(e.hash, s->mask);
     while (s->slots[i].count) i = (i + 1) & s->mask;
     s->slots[i] = e;
     s->used++;
@@ -1377,7 +1388,7 @@ static void fold_compact(FoldState* s) {
 
 static inline void fold_insert(FoldState* s, uint64_t h, uint64_t rc,
                                uint64_t packed) {
-  uint64_t i = h & s->mask;
+  uint64_t i = fold_slot(h, s->mask);
   for (;;) {
     Entry& e = s->slots[i];
     if (!e.count) {
@@ -1527,7 +1538,7 @@ extern "C" void fn_fold_batch(void* h, const uint64_t* packed,
     for (uint64_t j = 0; j < m; j++) {
       hs[j] = fold::murmur_packed_fast(packed[base + j], k, seed);
       if (hs[j] <= thr)
-        __builtin_prefetch(&s->slots[hs[j] & s->mask], 1, 1);
+        __builtin_prefetch(&s->slots[fold::fold_slot(hs[j], s->mask)], 1, 1);
     }
     for (uint64_t j = 0; j < m; j++) {
       if (hs[j] <= s->thr)
@@ -1565,3 +1576,275 @@ extern "C" uint64_t fn_fold_result(void* h, uint64_t cap, uint64_t* out_h,
 }
 
 extern "C" void fn_fold_free(void* h) { delete (fold::FoldState*)h; }
+
+// ===========================================================================
+// Fused parse+fold pipeline ("sketch mode").
+//
+// The parallel parse pipeline above feeds Python batches; in sketch mode
+// the parse workers fold their chunks directly into worker-local fold
+// tables instead, so one file's parse AND fold scale across cores with no
+// per-batch Python hop. A shared atomic admission threshold (the min of
+// every worker's local threshold — each local threshold is the (below +
+// size)-th smallest of a SUBSET of the stream, hence always >= the true
+// global threshold, hence superset-safe) keeps the tables small; the
+// final merge dedups and sums counts, and the usual retention rule
+// truncates. Exact by the monotone-max theorem for any chunk split.
+// ===========================================================================
+
+namespace spipe {
+
+struct SketchPipeline {
+  ppipe::Pipeline pipe;  // reused machinery: reader/aligner/queues
+  int scheme = 0;
+  uint64_t seed = 0;
+  uint64_t size = 0;
+  uint64_t max_hash = 0;
+  std::atomic<uint64_t> shared_thr{~0ULL};
+  std::mutex result_mu;
+  std::vector<fold::FoldState*> worker_states;
+  fold::FoldState* merged = nullptr;
+  std::atomic<int> workers_done{0};
+  int n_workers = 0;
+  std::atomic<int> err{0};
+  std::atomic<int> fmt{0};
+  // totals accumulated from chunk parsers
+  std::atomic<uint64_t> t_bases{0}, t_kmers{0}, t_records{0};
+  std::condition_variable cv_done;
+  std::mutex done_mu;
+  bool finished = false;
+  std::atomic<uint64_t> ns_parse{0}, ns_fold{0}, ns_merge{0};
+
+  ~SketchPipeline() {
+    // shut the pipeline's threads down BEFORE freeing the fold states
+    // they write to (the member dtor would run after this body)
+    {
+      std::unique_lock<std::mutex> lk(pipe.mu);
+      pipe.closing = true;
+    }
+    pipe.cv_work.notify_all();
+    pipe.cv_space.notify_all();
+    pipe.cv_gz_work.notify_all();
+    pipe.cv_gz_ready.notify_all();
+    pipe.cv_gz_space.notify_all();
+    for (auto& th : pipe.threads) th.join();
+    pipe.threads.clear();
+    for (auto* s : worker_states) delete s;
+    delete merged;
+  }
+};
+
+static void sketch_worker_main(SketchPipeline* sp, fold::FoldState* st) {
+  ppipe::Pipeline* p = &sp->pipe;
+  const uint64_t B = 1 << 16;
+  std::unique_ptr<uint64_t[]> kb(new uint64_t[B]);
+  std::unique_ptr<uint8_t[]> rb(new uint8_t[B]);
+  for (;;) {
+    ppipe::ChunkPtr c;
+    {
+      std::unique_lock<std::mutex> lk(p->mu);
+      p->cv_work.wait(lk, [&] {
+        return p->closing || !p->work_q.empty() ||
+               (p->aligner_done && p->work_q.empty());
+      });
+      if (p->closing) break;
+      if (p->work_q.empty()) break;  // aligner done + drained
+      c = p->work_q.front();
+      p->work_q.pop_front();
+      p->order_q.pop_front();  // no consumer: release live-chunk budget
+    }
+    p->cv_space.notify_one();
+    Parser* ps = parser_new();
+    ps->src.kind = SRC_MEM;
+    ps->src.data = (const uint8_t*)c->text.data();
+    ps->src.len = c->text.size();
+    int perr = 0;
+    for (;;) {
+      uint64_t n = 0;
+      int fmt = 0;
+      auto t0 = std::chrono::steady_clock::now();
+      int r = fn_next_batch(ps, sp->pipe.k, sp->pipe.canonical, B,
+                            kb.get(), rb.get(), &n, &fmt);
+      auto t1 = std::chrono::steady_clock::now();
+      sp->ns_parse += std::chrono::duration_cast<std::chrono::nanoseconds>(
+          t1 - t0).count();
+      if (r < 0) { perr = ps->err; break; }
+      if (n) {
+        // refresh the shared admission bound, fold, publish tightenings
+        uint64_t g = sp->shared_thr.load(std::memory_order_relaxed);
+        if (g < st->thr) st->thr = g;
+        fn_fold_batch(st, kb.get(), rb.get(), n);
+        auto t2 = std::chrono::steady_clock::now();
+        sp->ns_fold += std::chrono::duration_cast<
+            std::chrono::nanoseconds>(t2 - t1).count();
+        uint64_t mine = st->thr;
+        uint64_t cur = sp->shared_thr.load(std::memory_order_relaxed);
+        while (mine < cur && !sp->shared_thr.compare_exchange_weak(
+                   cur, mine, std::memory_order_relaxed)) {
+        }
+      }
+      if (r == 0) break;
+    }
+    sp->t_bases += ps->total_bases;
+    sp->t_kmers += ps->total_kmers;
+    sp->t_records += ps->total_records;
+    if (ps->format) sp->fmt.store(ps->format, std::memory_order_relaxed);
+    if (perr) sp->err.store(perr, std::memory_order_relaxed);
+    ps->src.data = nullptr;
+    fn_close(ps);
+  }
+  if (sp->workers_done.fetch_add(1) + 1 == sp->n_workers) {
+    // last worker out merges everything
+    auto tm0 = std::chrono::steady_clock::now();
+    fold::FoldState* m =
+        (fold::FoldState*)fn_fold_new(sp->scheme, sp->pipe.k, sp->seed,
+                                      sp->size, sp->max_hash);
+    uint64_t total_live = 0;
+    for (auto* ws : sp->worker_states) total_live += ws->used;
+    uint64_t pre = m->mask + 1;
+    while (pre < total_live * 2) pre *= 2;
+    fold::fold_rehash(m, pre);  // pre-size: no growth rehashes mid-merge
+    uint64_t n_ins = 0, n_cmp = 0, n_probe = 0;
+    for (auto* ws : sp->worker_states) {
+      for (const fold::Entry& e : ws->slots) {
+        if (!e.count || e.hash > m->thr) continue;
+        // insert summing counts (hash already computed)
+        n_ins++;
+        uint64_t i = fold::fold_slot(e.hash, m->mask);
+        for (;;) {
+          n_probe++;
+          fold::Entry& d = m->slots[i];
+          if (!d.count) {
+            d = e;
+            m->used++;
+            if (m->used * 10 >= (m->mask + 1) * 7) {
+              fold::fold_compact(m);
+              n_cmp++;
+            }
+            break;
+          }
+          if (d.hash == e.hash) {
+            d.count += e.count;
+            d.extra += e.extra;
+            break;
+          }
+          i = (i + 1) & m->mask;
+        }
+      }
+      ws->slots.clear();
+      ws->slots.shrink_to_fit();
+    }
+    if (getenv("FINCH_TPU_DEBUG_TIMING"))
+      fprintf(stderr, "[merge] inserts %lu probes %lu compacts %lu\n",
+              (unsigned long)n_ins, (unsigned long)n_probe,
+              (unsigned long)n_cmp);
+    sp->ns_merge += std::chrono::duration_cast<std::chrono::nanoseconds>(
+        std::chrono::steady_clock::now() - tm0).count();
+    if (getenv("FINCH_TPU_DEBUG_TIMING")) {
+      fprintf(stderr, "[fused] parse %.2fs fold %.2fs merge %.2fs\n",
+              sp->ns_parse.load() / 1e9, sp->ns_fold.load() / 1e9,
+              sp->ns_merge.load() / 1e9);
+    }
+    {
+      std::unique_lock<std::mutex> lk(sp->done_mu);
+      sp->merged = m;
+      sp->finished = true;
+    }
+    sp->cv_done.notify_all();
+  }
+}
+
+}  // namespace spipe
+
+extern "C" void* fn_sopen_path(const char* path, uint32_t k, int canonical,
+                               int threads, int scheme, uint64_t seed,
+                               uint64_t size, uint64_t max_hash, int* err) {
+  // open the parse side with a throwaway pipeline open, then swap in
+  // sketch workers instead of parse workers
+  spipe::SketchPipeline* sp = new spipe::SketchPipeline();
+  sp->scheme = scheme;
+  sp->seed = seed;
+  sp->size = size;
+  sp->max_hash = max_hash;
+  if (scheme == 1 && size == 0) sp->shared_thr = max_hash;
+  ppipe::Pipeline* p = &sp->pipe;
+  *err = 0;
+  if (k < 1 || k > 31) { *err = 6; delete sp; return nullptr; }
+  p->k = k;
+  p->canonical = canonical;
+  p->nthreads = threads > 0 ? threads : 1;
+  p->max_live = p->nthreads + 2;
+  if (const char* e = getenv("FINCH_TPU_CHUNK")) {
+    long v = atol(e);
+    if (v >= (1 << 12)) p->chunk_target = (uint64_t)v;
+  }
+  byte_class_init();
+  fold::decode16_init();
+  FILE* f = fopen(path, "rb");
+  if (!f) { *err = 2; delete sp; return nullptr; }
+  uint8_t head[4096];
+  size_t got = fread(head, 1, sizeof(head), f);
+  rewind(f);
+  if (got >= 2 && head[0] == 0x1f && head[1] == 0x8b) {
+    if (ppipe::bgzf_member_size(head, got) > 0) {
+      p->mode = ppipe::Pipeline::BGZF;
+      p->file = f;
+    } else {
+      fclose(f);
+      gzFile gf = gzopen(path, "rb");
+      if (!gf) { *err = 2; delete sp; return nullptr; }
+      p->mode = ppipe::Pipeline::SERIAL_GZ;
+      p->gzf = gf;
+    }
+  } else {
+    p->mode = ppipe::Pipeline::PLAIN;
+    p->file = f;
+  }
+  sp->n_workers = p->nthreads;
+  for (int i = 0; i < p->nthreads; i++) {
+    sp->worker_states.push_back(
+        (fold::FoldState*)fn_fold_new(scheme, k, seed, size, max_hash));
+  }
+  if (p->mode == ppipe::Pipeline::BGZF) {
+    p->threads.emplace_back(ppipe::bgzf_reader_main, p);
+    int inflators = p->nthreads < 4 ? p->nthreads : p->nthreads / 2 + 1;
+    for (int i = 0; i < inflators; i++)
+      p->threads.emplace_back(ppipe::bgzf_inflate_main, p);
+  }
+  p->threads.emplace_back(ppipe::aligner_main, p);
+  for (int i = 0; i < p->nthreads; i++)
+    p->threads.emplace_back(spipe::sketch_worker_main, sp,
+                            sp->worker_states[i]);
+  return sp;
+}
+
+// Blocks until the stream is fully folded. Returns 0 ok / -1 error (code
+// via fn_serror). Outputs: result entry count + totals + format.
+extern "C" int fn_swait(void* h, uint64_t* n_out, uint64_t* bases,
+                        uint64_t* kmers, uint64_t* records, int* fmt) {
+  spipe::SketchPipeline* sp = (spipe::SketchPipeline*)h;
+  std::unique_lock<std::mutex> lk(sp->done_mu);
+  sp->cv_done.wait(lk, [&] { return sp->finished; });
+  *bases = sp->t_bases.load();
+  *kmers = sp->t_kmers.load();
+  *records = sp->t_records.load();
+  *fmt = sp->fmt.load();
+  int err = sp->err.load();
+  if (!err && sp->pipe.err) err = sp->pipe.err;
+  if (!err && *records == 0 && sp->fmt.load() == 0) err = 1;  // empty
+  if (err) { sp->err.store(err); return -1; }
+  *n_out = sp->merged->used;
+  return 0;
+}
+
+extern "C" uint64_t fn_sresult(void* h, uint64_t cap, uint64_t* out_h,
+                               uint64_t* out_c, uint64_t* out_e,
+                               uint64_t* out_pk) {
+  spipe::SketchPipeline* sp = (spipe::SketchPipeline*)h;
+  return fn_fold_result(sp->merged, cap, out_h, out_c, out_e, out_pk);
+}
+
+extern "C" int fn_serror(void* h) {
+  return ((spipe::SketchPipeline*)h)->err.load();
+}
+
+extern "C" void fn_sclose(void* h) { delete (spipe::SketchPipeline*)h; }

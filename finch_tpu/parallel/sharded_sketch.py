@@ -43,10 +43,12 @@ def _sharded_step(state, batch_packed, batch_rc, nvalid, max_hash,
 
     spec = P(axis)
     st_spec = (spec,) * 6
+    # check_vma=False: the Pallas kernel inside produces outputs without
+    # varying-mesh-axes annotations, which the checker rejects on TPU
     return shard_map(
         body, mesh=mesh,
         in_specs=(st_spec, spec, spec, spec, P()),
-        out_specs=(st_spec, spec),
+        out_specs=(st_spec, spec), check_vma=False,
     )(state, batch_packed, batch_rc, nvalid, max_hash)
 
 
@@ -67,11 +69,11 @@ def _sharded_finalize(state, *, mesh, axis, k, seed):
     return shard_map(
         body, mesh=mesh,
         in_specs=(st_spec,),
-        out_specs=st_spec,
+        out_specs=st_spec, check_vma=False,
     )(state)
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("old_cap",))
 def _grow_cols(old, template, old_cap: int):
     return jnp.concatenate([old, template[:, old_cap:]], axis=1)
 

@@ -346,3 +346,70 @@ def test_allcounts_large_k_end_to_end():
     # forward-strand k-mer of the record must appear with its packed code
     kmers = {kc.kmer for kc in s.hashes}
     assert b"ACGTACGTTGCAACGTACGTA" in kmers or len(kmers) >= 20
+
+
+def test_fused_pipeline_matches_numpy_all_sources(tmp_path):
+    """The fused C++ parse+fold path (backend native, path sources) is
+    bit-identical to the NumpyEngine across formats, compression, many
+    small chunks, and both schemes."""
+    import gzip
+    import os
+
+    from finch_tpu.core.sketching import sketch_stream
+
+    rng = np.random.default_rng(33)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    reads = []
+    for i in range(3000):
+        seq = bases[rng.integers(0, 4, size=120)].tobytes()
+        reads.append(b"@r%d\n%s\n+\n%s\n" % (i, seq, b"I" * 120))
+    fq = b"".join(reads)
+    p_fq = tmp_path / "r.fastq"
+    p_fq.write_bytes(fq)
+    p_gz = tmp_path / "r.fastq.gz"
+    p_gz.write_bytes(gzip.compress(fq))
+
+    os.environ["FINCH_TPU_CHUNK"] = str(1 << 14)  # force many chunks
+    try:
+        for path in (p_fq, p_gz):
+            for params in (
+                    SketchParams.mash(kmers_to_sketch=500, final_size=100,
+                                      no_strict=True),
+                    SketchParams.scaled(kmers_to_sketch=20, scale=0.001),
+            ):
+                fused = sketch_stream(str(path), "x", params,
+                                      FilterParams(filter_on=False),
+                                      backend="native", parser_threads=4)
+                ref = sketch_stream(str(path), "x", params,
+                                    FilterParams(filter_on=False),
+                                    backend="numpy", parser_threads=1)
+                assert [(k.hash, k.kmer, k.count, k.extra_count)
+                        for k in fused.hashes] == \
+                       [(k.hash, k.kmer, k.count, k.extra_count)
+                        for k in ref.hashes], (path, params.sketch_type)
+                assert fused.seq_length == ref.seq_length
+                assert fused.num_valid_kmers == ref.num_valid_kmers
+    finally:
+        del os.environ["FINCH_TPU_CHUNK"]
+
+
+def test_fused_pipeline_error_paths(tmp_path):
+    import pytest
+
+    from finch_tpu.core.sketching import sketch_stream
+    from finch_tpu.errors import FinchError
+
+    bad = tmp_path / "bad.fastq"
+    bad.write_bytes(b"@r1\nACGT\n+\n")  # truncated record
+    with pytest.raises(FinchError):
+        sketch_stream(str(bad), "x",
+                      SketchParams.mash(kmers_to_sketch=4, final_size=4,
+                                        no_strict=True),
+                      FilterParams(filter_on=False), backend="native")
+    empty = tmp_path / "empty.fa"
+    empty.write_bytes(b"")
+    with pytest.raises(FinchError):
+        sketch_stream(str(empty), "x",
+                      SketchParams.mash(kmers_to_sketch=4, final_size=4,
+                                        no_strict=True),
+                      FilterParams(filter_on=False), backend="native")
