@@ -399,10 +399,13 @@ def _calc_distances_batched(queries, refs,
     scale = scale if scale is not None else 0.0
     k = float(queries[0].sketch_params.k)
 
-    if queries is refs or (len(queries) == len(refs)
-                           and all(a is b for a, b in zip(queries, refs))):
+    if (queries is refs or (len(queries) == len(refs)
+                            and all(a is b for a, b in zip(queries, refs)))) \
+            and len(refs) <= 32768:
         # pairwise all-vs-all: one global sort + Gram matmuls on the MXU
-        # (parallel/mxu_dist.py) instead of N^2 pair merges
+        # (parallel/mxu_dist.py) instead of N^2 pair merges. Beyond ~32k
+        # sketches the three (N, N) stat matrices outgrow host memory, so
+        # the ref-chunked tile engine below takes over.
         return _calc_distances_gram(refs, scale, k, max_distance)
 
     qh = [q.hash_array() for q in queries]

@@ -42,6 +42,11 @@ _ERRORS = {
 
 
 def _build() -> str:
+    # override hook: load a pre-built .so (e.g. a -fsanitize=thread build,
+    # benchmarks/tsan_native.sh) instead of the cached release build
+    custom = os.environ.get("FINCH_TPU_NATIVE_SO")
+    if custom:
+        return custom
     with open(_SRC, "rb") as f:
         digest = hashlib.sha256(f.read()).hexdigest()[:16]
     so_path = os.path.join(_HERE, f"_finch_native_{digest}.so")
