@@ -38,14 +38,24 @@ def main() -> None:
     pool = ((hi.astype(jnp.uint64) << jnp.uint64(32))
             | lo.astype(jnp.uint64)) & jnp.uint64(4 ** k - 1)
     rc = (lo & jnp.uint32(1)).astype(jnp.uint8)
+    # composite u32 planes — the parser's production emission format
+    # (fn_next_batch_c): ((packed << 1) | rc) split into lo/hi
+    comp = (pool << jnp.uint64(1)) | rc.astype(jnp.uint64)
+    pool = (comp & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    rc = (comp >> jnp.uint64(32)).astype(jnp.uint32)
 
     def one_step(i, state, pool, rc):
+        # xor-perturb the packed bits only (shifted left of the rc bit):
+        # fresh k-mers each step, same rc stream
         mask = (i.astype(jnp.uint64)
                 * jnp.uint64(0x9E3779B97F4A7C15)) & jnp.uint64(4 ** k - 1)
+        m = mask << jnp.uint64(1)
+        mlo = (m & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+        mhi = (m >> jnp.uint64(32)).astype(jnp.uint32)
         new_state, _ = bottomk.sketch_step(
-            state, pool ^ mask, rc, jnp.uint32(batch), jnp.uint64(0),
+            state, pool ^ mlo, rc ^ mhi, jnp.uint32(batch), jnp.uint64(0),
             k=k, seed=0, has_max_hash=False,
-            use_kernel=bottomk.auto_use_kernel())
+            use_kernel=bottomk.auto_use_kernel(), composite=True)
         return new_state
 
     @jax.jit
@@ -93,6 +103,7 @@ def main() -> None:
     # the dedup/merge stages carry maximum load while the prefilter's
     # uniform-hash assumption is broken
     dup_pool = jnp.tile(pool[: batch // 64], 64)
+    rc = jnp.tile(rc[: batch // 64], 64)  # keep (lo, hi) lanes paired
     state = bottomk.empty_state(cap)
     state = run(state, dup_pool, rc, jnp.int32(0), jnp.int32(warm_steps))
     sync(state)

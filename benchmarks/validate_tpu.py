@@ -95,6 +95,34 @@ def main() -> None:
             assert (common[qa, qb], got_tot) == (cm, tot),                 f"DIVERGENCE: Gram dist at pair {qa},{qb}"
     print("Gram distance engine: device == serial on "
           f"{len(db)}x{len(db)} pairs")
+
+    # composite-plane kernel input == classic input (bit-identical)
+    import jax.numpy as jnp
+
+    from finch_tpu.ops import bottomk
+
+    s1 = bottomk.empty_state(2000)
+    s2 = bottomk.empty_state(2000)
+    for _ in range(2):
+        pk = rng.integers(0, 4 ** 21, size=1 << 21, dtype=np.uint64)
+        rc = rng.integers(0, 2, size=1 << 21, dtype=np.uint8)
+        comp = (pk << np.uint64(1)) | rc
+        lo = (comp & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        hi = (comp >> np.uint64(32)).astype(np.uint32)
+        nv = jnp.uint32(len(pk))
+        s1, _ = bottomk.sketch_step(
+            s1, jnp.asarray(pk), jnp.asarray(rc), nv, jnp.uint64(0),
+            k=21, seed=0, has_max_hash=False, use_kernel=True)
+        s2, _ = bottomk.sketch_step(
+            s2, jnp.asarray(lo), jnp.asarray(hi), nv, jnp.uint64(0),
+            k=21, seed=0, has_max_hash=False, use_kernel=True,
+            composite=True)
+    f1, _ = bottomk.flush_state(s1, jnp.uint64(0), k=21, seed=0)
+    f2, _ = bottomk.flush_state(s2, jnp.uint64(0), k=21, seed=0)
+    for a, b2 in zip(f1[:4], f2[:4]):
+        assert np.array_equal(np.asarray(a), np.asarray(b2)), \
+            "DIVERGENCE: composite kernel input"
+    print("composite kernel input: bit-identical to classic")
     print("validate_tpu OK")
 
 

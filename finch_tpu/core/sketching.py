@@ -27,7 +27,8 @@ def _make_engine(sketch_params: SketchParams, backend: str, batch_size: int):
 
 
 def _choose_reader(source, k: int, canonical: bool, batch_size: int,
-                   parser_threads: Optional[int] = None):
+                   parser_threads: Optional[int] = None,
+                   composite: bool = False):
     """Within-file parallel parsing via the native streaming pipeline
     (record-aligned chunks parsed by a C++ thread pool; O(1) memory in
     file size, BGZF-parallel gunzip) whenever more than one core is
@@ -42,9 +43,10 @@ def _choose_reader(source, k: int, canonical: bool, batch_size: int,
     if cores > 1:
         return StreamingParallelReader(
             source, k=k, canonical=canonical,
-            batch_size=batch_size, threads=parser_threads)
+            batch_size=batch_size, threads=parser_threads,
+            composite=composite)
     return KmerReader(source, k=k, canonical=canonical,
-                      batch_size=batch_size)
+                      batch_size=batch_size, composite=composite)
 
 
 def _fused_native_ok(source, sketch_params: SketchParams,
@@ -78,8 +80,10 @@ def sketch_stream(source, name: str, sketch_params: SketchParams,
                                     filter_params, parser_threads)
     engine = _make_engine(sketch_params, backend, batch_size)
     canonical = sketch_params.sketch_type != "none"
-    reader = _choose_reader(source, sketch_params.k, canonical, batch_size,
-                        parser_threads=parser_threads)
+    reader = _choose_reader(
+        source, sketch_params.k, canonical, batch_size,
+        parser_threads=parser_threads,
+        composite=getattr(engine, "wants_composite", False))
     parse_m = get_meter("parse_kmers")
     engine_m = get_meter("engine_kmers")
 

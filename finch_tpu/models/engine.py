@@ -204,6 +204,9 @@ class JaxEngine:
         self._mh = (jnp.uint64(self.max_hash) if self.max_hash is not None
                     else jnp.uint64(0))
         self._use_kernel = bottomk.auto_use_kernel()
+        # composite reader batches skip the device-side prep pass on the
+        # kernel path and drop the per-k-mer rc byte from the transfer
+        self.wants_composite = self._use_kernel
 
     @staticmethod
     def _bucket(n: int) -> int:
@@ -235,14 +238,20 @@ class JaxEngine:
         jnp = self._jnp
         bk = self._bottomk
         nvalid = jnp.uint32(len(chunk_pk))
-        pk_d = self._pad(chunk_pk, np.uint64)
-        rc_d = self._pad(chunk_rc, np.uint8)
+        composite = chunk_pk.dtype == np.uint32
+        if composite:
+            pk_d = self._pad(chunk_pk, np.uint32)
+            rc_d = self._pad(chunk_rc, np.uint32)
+        else:
+            pk_d = self._pad(chunk_pk, np.uint64)
+            rc_d = self._pad(chunk_rc, np.uint8)
         is_scaled = self.params.sketch_type == "scaled"
         while True:
             new_state, below = bk.sketch_step(
                 self.state, pk_d, rc_d, nvalid, self._mh,
                 k=self.params.k, seed=self.params.hash_seed,
-                has_max_hash=is_scaled, use_kernel=self._use_kernel)
+                has_max_hash=is_scaled, use_kernel=self._use_kernel,
+                composite=composite)
             if not is_scaled:
                 self.state = new_state
                 return
@@ -286,12 +295,15 @@ class HybridEngine:
 
     def __init__(self, params: SketchParams, batch_size: int = 1 << 21,
                  switch_after: int = 4 << 20):
+        from finch_tpu.ops import bottomk
+
         self.params = params
         self.batch_size = batch_size
         self.switch_after = switch_after
         self._host = NativeEngine(params)
         self._dev: Optional[JaxEngine] = None
         self._seen = 0
+        self.wants_composite = bottomk.auto_use_kernel()
 
     def _migrate(self) -> None:
         import jax.numpy as jnp
@@ -318,7 +330,15 @@ class HybridEngine:
 
     def update(self, packed: np.ndarray, rc: np.ndarray) -> None:
         if self._dev is None:
-            self._host.update(packed, rc)
+            if packed.dtype == np.uint32:
+                # composite planes: decode for the host fold
+                comp = ((rc.astype(np.uint64) << np.uint64(32))
+                        | packed.astype(np.uint64))
+                pk = comp >> np.uint64(1)
+                rcb = (packed & np.uint32(1)).astype(np.uint8)
+                self._host.update(pk, rcb)
+            else:
+                self._host.update(packed, rc)
             self._seen += len(packed)
             if self._seen >= self.switch_after:
                 self._migrate()

@@ -90,14 +90,18 @@ def lib() -> ctypes.CDLL:
                 l.fn_totals.argtypes = [ctypes.c_void_p, p(u64), p(u64), p(u64)]
                 l.fn_error.restype = ctypes.c_int
                 l.fn_error.argtypes = [ctypes.c_void_p]
+                l.fn_next_batch_c.restype = ctypes.c_int
+                l.fn_next_batch_c.argtypes = [
+                    ctypes.c_void_p, u32, ctypes.c_int, u64,
+                    ctypes.c_void_p, ctypes.c_void_p, p(u64), p(ctypes.c_int)]
                 l.fn_popen_path.restype = ctypes.c_void_p
                 l.fn_popen_path.argtypes = [
                     ctypes.c_char_p, u32, ctypes.c_int, u64, ctypes.c_int,
-                    p(ctypes.c_int)]
+                    ctypes.c_int, p(ctypes.c_int)]
                 l.fn_popen_bytes.restype = ctypes.c_void_p
                 l.fn_popen_bytes.argtypes = [
                     ctypes.c_char_p, u64, u32, ctypes.c_int, u64,
-                    ctypes.c_int, p(ctypes.c_int)]
+                    ctypes.c_int, ctypes.c_int, p(ctypes.c_int)]
                 l.fn_pnext.restype = ctypes.c_int
                 l.fn_pnext.argtypes = [
                     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -174,10 +178,11 @@ class KmerReader:
     """
 
     def __init__(self, path_or_bytes, k: int, canonical: bool = True,
-                 batch_size: int = 1 << 22):
+                 batch_size: int = 1 << 22, composite: bool = False):
         self.k = int(k)
         self.canonical = bool(canonical)
         self.batch_size = int(batch_size)
+        self.composite = bool(composite)
         self._err = ctypes.c_int(0)
         self._keepalive = None
         self._lib = lib()
@@ -197,12 +202,22 @@ class KmerReader:
         n = ctypes.c_uint64(0)
         fmt = ctypes.c_int(0)
         while not self._done:
-            kmers = np.empty(self.batch_size, dtype=np.uint64)
-            rc = np.empty(self.batch_size, dtype=np.uint8)
-            r = lib().fn_next_batch(
-                self._h, self.k, 1 if self.canonical else 0, self.batch_size,
-                kmers.ctypes.data, rc.ctypes.data,
-                ctypes.byref(n), ctypes.byref(fmt))
+            if self.composite:
+                # ((packed << 1) | is_rc) u32 planes: the fused device
+                # kernel's operand layout, no device-side prep pass
+                a = np.empty(self.batch_size, dtype=np.uint32)
+                b = np.empty(self.batch_size, dtype=np.uint32)
+                r = lib().fn_next_batch_c(
+                    self._h, self.k, 1 if self.canonical else 0,
+                    self.batch_size, a.ctypes.data, b.ctypes.data,
+                    ctypes.byref(n), ctypes.byref(fmt))
+            else:
+                a = np.empty(self.batch_size, dtype=np.uint64)
+                b = np.empty(self.batch_size, dtype=np.uint8)
+                r = lib().fn_next_batch(
+                    self._h, self.k, 1 if self.canonical else 0,
+                    self.batch_size, a.ctypes.data, b.ctypes.data,
+                    ctypes.byref(n), ctypes.byref(fmt))
             if r < 0:
                 code = lib().fn_error(self._h)
                 raise NativeError(_ERRORS.get(code, f"parse error {code}"))
@@ -210,7 +225,7 @@ class KmerReader:
             if r == 0:
                 self._done = True
             if n.value:
-                yield kmers[: n.value], rc[: n.value]
+                yield a[: n.value], b[: n.value]
             if r == 0:
                 break
 
@@ -248,27 +263,31 @@ class StreamingParallelReader:
     """
 
     def __init__(self, path_or_bytes, k: int, canonical: bool = True,
-                 batch_size: int = 1 << 22, threads: int | None = None):
+                 batch_size: int = 1 << 22, threads: int | None = None,
+                 composite: bool = False):
         if threads is None:
             threads = int(os.environ.get("FINCH_TPU_PARSER_THREADS", "0")) \
                 or (os.cpu_count() or 1)
         self.k = int(k)
         self.canonical = bool(canonical)
         self.batch_size = int(batch_size)
+        self.composite = bool(composite)
         self._err = ctypes.c_int(0)
         self._keepalive = None
         self._lib = lib()
+        comp = 1 if composite else 0
         if isinstance(path_or_bytes, (bytes, bytearray, memoryview)):
             data = bytes(path_or_bytes)
             self._keepalive = data
             self._h = lib().fn_popen_bytes(
                 data, len(data), self.k, 1 if self.canonical else 0,
-                self.batch_size, int(threads), ctypes.byref(self._err))
+                self.batch_size, int(threads), comp,
+                ctypes.byref(self._err))
         else:
             self._h = lib().fn_popen_path(
                 str(path_or_bytes).encode(), self.k,
                 1 if self.canonical else 0, self.batch_size, int(threads),
-                ctypes.byref(self._err))
+                comp, ctypes.byref(self._err))
         if not self._h:
             raise NativeError(_ERRORS.get(self._err.value, "open failed"))
         self.format = FORMAT_UNKNOWN
@@ -278,10 +297,14 @@ class StreamingParallelReader:
         n = ctypes.c_uint64(0)
         fmt = ctypes.c_int(0)
         while not self._done:
-            kmers = np.empty(self.batch_size, dtype=np.uint64)
-            rc = np.empty(self.batch_size, dtype=np.uint8)
+            if self.composite:
+                a = np.empty(self.batch_size, dtype=np.uint32)
+                b = np.empty(self.batch_size, dtype=np.uint32)
+            else:
+                a = np.empty(self.batch_size, dtype=np.uint64)
+                b = np.empty(self.batch_size, dtype=np.uint8)
             r = lib().fn_pnext(
-                self._h, kmers.ctypes.data, rc.ctypes.data,
+                self._h, a.ctypes.data, b.ctypes.data,
                 ctypes.byref(n), ctypes.byref(fmt))
             self.format = fmt.value or self.format
             if r < 0:
@@ -291,7 +314,7 @@ class StreamingParallelReader:
                 self._done = True
                 break
             if n.value:
-                yield kmers[: n.value], rc[: n.value]
+                yield a[: n.value], b[: n.value]
 
     @property
     def totals(self):

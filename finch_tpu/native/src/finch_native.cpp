@@ -335,9 +335,15 @@ static void end_record(Parser* p) {
 // canonical != 0: emit canonical codes + is_rc flags (Mash/Scaled schemes).
 // canonical == 0: emit forward-strand codes only (AllCounts scheme,
 //                 needletail bit_kmers semantics, counts.rs:30).
-extern "C" int fn_next_batch(void* h, uint32_t k, int canonical, uint64_t cap,
-                             uint64_t* out_kmers, uint8_t* out_rc,
-                             uint64_t* n_out, int* format_out) {
+// EMIT=0: (packed u64, is_rc u8) pairs — the classic layout.
+// EMIT=1: composite u32 planes — lo/hi halves of ((packed << 1) | is_rc),
+//         exactly the operand layout of the fused device kernel
+//         (ops/pallas_extract.py), so no device-side prep pass is needed.
+template <int EMIT>
+static int parse_batch_impl(void* h, uint32_t k, int canonical, uint64_t cap,
+                            uint64_t* out_kmers, uint8_t* out_rc,
+                            uint32_t* out_lo, uint32_t* out_hi,
+                            uint64_t* n_out, int* format_out) {
   Parser* p = (Parser*)h;
   *n_out = 0;
   if (p->err) { return -1; }
@@ -399,8 +405,16 @@ extern "C" int fn_next_batch(void* h, uint32_t k, int canonical, uint64_t cap,
             rev = (rev >> 2) | ((3 - code) << rshift);
             vlen = (cls < 4) ? vlen + 1 : 0;
             const uint64_t canon = fwd < rev ? fwd : rev;
-            out_kmers[n] = canonical ? canon : fwd;
-            out_rc[n] = canonical ? (uint8_t)(fwd >= rev) : 0;
+            if (EMIT == 0) {
+              out_kmers[n] = canonical ? canon : fwd;
+              out_rc[n] = canonical ? (uint8_t)(fwd >= rev) : 0;
+            } else {
+              const uint64_t comp = canonical
+                  ? ((canon << 1) | (uint64_t)(fwd >= rev))
+                  : (fwd << 1);
+              out_lo[n] = (uint32_t)comp;
+              out_hi[n] = (uint32_t)(comp >> 32);
+            }
             const uint64_t emit = (vlen >= k);
             n += emit;
             kmers += emit;
@@ -417,11 +431,16 @@ extern "C" int fn_next_batch(void* h, uint32_t k, int canonical, uint64_t cap,
                 fwd = ((fwd << 2) | cls) & mask;
                 rev = (rev >> 2) | (uint64_t(3 - cls) << rshift);
                 if (++vlen >= k) {
-                  if (canonical) {
-                    if (fwd < rev) { out_kmers[n] = fwd; out_rc[n] = 0; }
-                    else           { out_kmers[n] = rev; out_rc[n] = 1; }
+                  uint64_t kv, rcv;
+                  if (canonical && fwd >= rev) { kv = rev; rcv = 1; }
+                  else                         { kv = fwd; rcv = 0; }
+                  if (EMIT == 0) {
+                    out_kmers[n] = kv;
+                    out_rc[n] = (uint8_t)rcv;
                   } else {
-                    out_kmers[n] = fwd; out_rc[n] = 0;
+                    const uint64_t comp = (kv << 1) | rcv;
+                    out_lo[n] = (uint32_t)comp;
+                    out_hi[n] = (uint32_t)(comp >> 32);
                   }
                   n++; kmers++;
                 }
@@ -543,6 +562,22 @@ extern "C" int fn_next_batch(void* h, uint32_t k, int canonical, uint64_t cap,
   return (n > 0) ? 1 : 0;
 }
 
+extern "C" int fn_next_batch(void* h, uint32_t k, int canonical, uint64_t cap,
+                             uint64_t* out_kmers, uint8_t* out_rc,
+                             uint64_t* n_out, int* format_out) {
+  return parse_batch_impl<0>(h, k, canonical, cap, out_kmers, out_rc,
+                             nullptr, nullptr, n_out, format_out);
+}
+
+// Composite-plane variant: out_lo/out_hi are u32[cap].
+extern "C" int fn_next_batch_c(void* h, uint32_t k, int canonical,
+                               uint64_t cap, uint32_t* out_lo,
+                               uint32_t* out_hi, uint64_t* n_out,
+                               int* format_out) {
+  return parse_batch_impl<1>(h, k, canonical, cap, nullptr, nullptr,
+                             out_lo, out_hi, n_out, format_out);
+}
+
 extern "C" void fn_totals(void* h, uint64_t* bases, uint64_t* kmers,
                           uint64_t* records) {
   Parser* p = (Parser*)h;
@@ -592,9 +627,12 @@ namespace ppipe {
 
 struct PBatch {
   // uninitialized buffers: a zeroing resize would add three extra memory
-  // passes per batch, which dominates the whole pipeline at 1 thread
+  // passes per batch, which dominates the whole pipeline at 1 thread.
+  // classic layout: kmers/rc. composite layout: lo/hi u32 planes.
   std::unique_ptr<uint64_t[]> kmers;
   std::unique_ptr<uint8_t[]> rc;
+  std::unique_ptr<uint32_t[]> lo;
+  std::unique_ptr<uint32_t[]> hi;
   uint64_t n = 0;
 };
 
@@ -624,6 +662,7 @@ struct Pipeline {
   // --- config -----------------------------------------------------------
   uint32_t k = 21;
   int canonical = 1;
+  int composite = 0;  // emit ((packed<<1)|rc) u32 planes instead
   uint64_t batch_cap = 1 << 22;
   int nthreads = 1;
   uint64_t chunk_target = 4 << 20;
@@ -1085,12 +1124,20 @@ static void parse_worker_main(Pipeline* p) {
                                                      : c->text.size() + 1;
     for (;;) {
       PBatch b;
-      b.kmers.reset(new uint64_t[cap]);
-      b.rc.reset(new uint8_t[cap]);
       uint64_t n = 0;
       int fmt = 0;
-      int r = fn_next_batch(ps, p->k, p->canonical, cap,
-                            b.kmers.get(), b.rc.get(), &n, &fmt);
+      int r;
+      if (p->composite) {
+        b.lo.reset(new uint32_t[cap]);
+        b.hi.reset(new uint32_t[cap]);
+        r = fn_next_batch_c(ps, p->k, p->canonical, cap,
+                            b.lo.get(), b.hi.get(), &n, &fmt);
+      } else {
+        b.kmers.reset(new uint64_t[cap]);
+        b.rc.reset(new uint8_t[cap]);
+        r = fn_next_batch(ps, p->k, p->canonical, cap,
+                          b.kmers.get(), b.rc.get(), &n, &fmt);
+      }
       if (r < 0) { perr = ps->err; break; }
       b.n = n;
       bool last = (r == 0);
@@ -1141,11 +1188,12 @@ static void p_start_threads(Pipeline* p) {
 }
 
 static Pipeline* p_common_init(uint32_t k, int canonical, uint64_t batch_cap,
-                               int threads, int* err) {
+                               int threads, int composite, int* err) {
   if (k < 1 || k > 31) { *err = 6; return nullptr; }
   Pipeline* p = new Pipeline();
   p->k = k;
   p->canonical = canonical;
+  p->composite = composite;
   p->batch_cap = batch_cap ? batch_cap : (1 << 22);
   p->nthreads = threads > 0 ? threads : 1;
   p->max_live = p->nthreads + 2;
@@ -1159,9 +1207,11 @@ static Pipeline* p_common_init(uint32_t k, int canonical, uint64_t batch_cap,
 }
 
 extern "C" void* fn_popen_path(const char* path, uint32_t k, int canonical,
-                               uint64_t batch_cap, int threads, int* err) {
+                               uint64_t batch_cap, int threads,
+                               int composite, int* err) {
   *err = 0;
-  Pipeline* p = p_common_init(k, canonical, batch_cap, threads, err);
+  Pipeline* p = p_common_init(k, canonical, batch_cap, threads, composite,
+                              err);
   if (!p) return nullptr;
   FILE* f = fopen(path, "rb");
   if (!f) { *err = 2; delete p; return nullptr; }
@@ -1199,9 +1249,10 @@ extern "C" void* fn_popen_path(const char* path, uint32_t k, int canonical,
 
 extern "C" void* fn_popen_bytes(const uint8_t* data, uint64_t len, uint32_t k,
                                 int canonical, uint64_t batch_cap,
-                                int threads, int* err) {
+                                int threads, int composite, int* err) {
   *err = 0;
-  Pipeline* p = p_common_init(k, canonical, batch_cap, threads, err);
+  Pipeline* p = p_common_init(k, canonical, batch_cap, threads, composite,
+                              err);
   if (!p) return nullptr;
   p->mem = data;
   p->mem_len = len;
@@ -1239,8 +1290,13 @@ extern "C" int fn_pnext(void* h, uint64_t* out_kmers, uint8_t* out_rc,
         ppipe::PBatch b = std::move(c->ready.front());
         c->ready.pop_front();
         lk.unlock();
-        memcpy(out_kmers, b.kmers.get(), b.n * 8);
-        memcpy(out_rc, b.rc.get(), b.n);
+        if (p->composite) {
+          memcpy(out_kmers, b.lo.get(), b.n * 4);
+          memcpy(out_rc, b.hi.get(), b.n * 4);
+        } else {
+          memcpy(out_kmers, b.kmers.get(), b.n * 8);
+          memcpy(out_rc, b.rc.get(), b.n);
+        }
         *n_out = b.n;
         lk.lock();
         if (p->fmt == 0 && c->fmt) p->fmt = c->fmt;

@@ -228,10 +228,10 @@ def _append_page(carry, cand, mh_arg, *, k: int, seed: int):
 
 
 @partial(jax.jit, static_argnames=("k", "seed", "has_max_hash",
-                                   "use_kernel"))
+                                   "use_kernel", "composite"))
 def sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
                 *, k: int, seed: int, has_max_hash: bool,
-                use_kernel: bool = False):
+                use_kernel: bool = False, composite: bool = False):
     """Fold one batch of packed canonical k-mers into the sketch state.
 
     Exact for any input (cold state, survivor bursts, duplicates) via
@@ -248,6 +248,15 @@ def sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
     sh, sc, se, spk, spill, fill = state
     state4 = (sh, sc, se, spk)
     b = batch_packed.shape[0]
+    if composite:
+        # inputs are the parser's ((packed << 1) | is_rc) u32 planes
+        # (batch_packed = lo, batch_rc = hi) — the kernel's operand
+        # layout; the XLA fallback paths reconstruct the u64 composite
+        comp_lo, comp_hi = batch_packed, batch_rc
+        comp64 = ((comp_hi.astype(jnp.uint64) << jnp.uint64(32))
+                  | comp_lo.astype(jnp.uint64))
+        batch_packed = comp64 >> jnp.uint64(1)
+        batch_rc = (comp_lo & jnp.uint32(1)).astype(jnp.uint8)
     if b > (1 << 25):
         # a stage-2 page is b/1024 entries wide; past 32M lanes a single
         # page would overflow the spill. Engines batch at 2-4M.
@@ -363,14 +372,20 @@ def sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
         # one VMEM-resident kernel; the overflow flag (a column with more
         # than ROWS_OUT survivors — cold state or extreme density) falls
         # back in-graph to the exact XLA sort path.
-        v = jnp.where(
-            valid,
-            (batch_packed.astype(jnp.uint64) << jnp.uint64(1))
-            | batch_rc.astype(jnp.uint64),
-            U64_MAX)
+        if composite:
+            vlo = jnp.where(valid, comp_lo, jnp.uint32(0xFFFFFFFF))
+            vhi = jnp.where(valid, comp_hi, jnp.uint32(0xFFFFFFFF))
+        else:
+            v = jnp.where(
+                valid,
+                (batch_packed.astype(jnp.uint64) << jnp.uint64(1))
+                | batch_rc.astype(jnp.uint64),
+                U64_MAX)
+            vlo = v.astype(jnp.uint32)
+            vhi = (v >> jnp.uint64(32)).astype(jnp.uint32)
         cand, ovf = pallas_extract.extract_candidates(
-            v.astype(jnp.uint32),
-            (v >> jnp.uint64(32)).astype(jnp.uint32),
+            vlo,
+            vhi,
             (thresh >> jnp.uint64(32)).astype(jnp.uint32),
             thresh.astype(jnp.uint32),
             k=k, seed=seed)
