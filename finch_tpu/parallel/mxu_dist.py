@@ -223,7 +223,8 @@ def _below_counts(hashes_padded: np.ndarray, lengths: np.ndarray,
 
 
 def all_pairs_stats(hashes_padded: np.ndarray, lengths: np.ndarray,
-                    scale: float = 0.0, run_block: int = 2048):
+                    scale: float = 0.0, run_block: int = 2048,
+                    device_ij: bool = False):
     """(common, i, j) int64 (N, N) matrices with raw_distance semantics:
     i[q, r] = #{q's hashes <= min(max_q, max_r)} plus the scaled-tail
     advance past hashes < max_hash (distance.rs:99-115); j = transpose
@@ -238,7 +239,10 @@ def all_pairs_stats(hashes_padded: np.ndarray, lengths: np.ndarray,
         [hashes_padded[i, lengths[i] - 1] if lengths[i] else np.uint64(0)
          for i in range(n)], dtype=np.uint64)
     # below[q, r] = #{q <= max_r}
-    below = _below_counts(hashes_padded, lengths, maxima, side="right")
+    if device_ij:
+        below = below_counts_device(hashes_padded, lengths, maxima)
+    else:
+        below = _below_counts(hashes_padded, lengths, maxima, side="right")
     # m = min(max_q, max_r): i = #{q <= m} = min(below[q, r], len_q) with
     # the convention that when max_q <= max_r, #{q <= m} = len_q
     i_mat = np.minimum(below, lengths[:, None])
@@ -367,3 +371,49 @@ def _gram_range(rid, sid, n_shared, lo, hi, n_sketches: int, page: int):
     common0 = jnp.zeros((n_sketches, n_sketches), jnp.float32)
     common, _ = lax.while_loop(cond, body, (common0, lo))
     return common
+
+
+# ---------------------------------------------------------------------------
+# device-side below-counts (the i/j phase fully on-chip)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _below_counts_device_sorted(hashes_padded: jnp.ndarray,
+                                sorted_thresholds: jnp.ndarray):
+    """counts[n, t] = #{h in row n : h <= sorted_thresholds[t]} via a
+    batched row merge: concatenate each row with the sorted threshold
+    vector, tag-sort so row elements order before equal thresholds, and
+    read each threshold's prefix row-element count. Three (N, K+M)-lane
+    sorts + one cumsum — no per-row host calls, no searchsorted.
+
+    Pads (U64_MAX) sort after every threshold (callers reject genuine
+    u64::MAX upstream), so they never contribute.
+    """
+    n, k = hashes_padded.shape
+    m = sorted_thresholds.shape[0]
+    vals = jnp.concatenate(
+        [hashes_padded,
+         jnp.broadcast_to(sorted_thresholds[None, :], (n, m))], axis=1)
+    # tag 0 = row element, 1 = threshold (equal values: row element first,
+    # so prefix counts implement '<=')
+    tag = jnp.concatenate(
+        [jnp.zeros((n, k), jnp.int32), jnp.ones((n, m), jnp.int32)], axis=1)
+    sv, st = lax.sort((vals, tag), dimension=1, num_keys=2)
+    prefix = jnp.cumsum((st == 0).astype(jnp.int32), axis=1)
+    # compact the m threshold entries (ascending value = ascending rank)
+    # to the front, carrying their prefix counts
+    _, counts = lax.sort(((st == 0).astype(jnp.int32), prefix),
+                         dimension=1, num_keys=1)
+    return counts[:, :m]
+
+
+def below_counts_device(hashes_padded: np.ndarray, lengths: np.ndarray,
+                        thresholds: np.ndarray) -> np.ndarray:
+    """Device variant of _below_counts(side='right'); same contract."""
+    order = np.argsort(thresholds, kind="stable")
+    sm = thresholds[order]
+    counts = np.asarray(_below_counts_device_sorted(
+        jnp.asarray(hashes_padded), jnp.asarray(sm)))
+    inv = np.empty(len(thresholds), dtype=np.int64)
+    inv[order] = np.arange(len(thresholds))
+    return counts.take(inv, axis=1)

@@ -88,3 +88,21 @@ def test_sharded_common_matches_unsharded():
     mesh = Mesh(devs, ("d",))
     got = sharded_common(H, L, mesh)
     assert np.array_equal(got, want)
+
+
+def test_below_counts_device_matches_host():
+    from finch_tpu.parallel.mxu_dist import (_below_counts,
+                                             below_counts_device)
+
+    rng = np.random.default_rng(44)
+    sketches = _random_db(rng, 30, 4000, 120)
+    H, L = pack_db(sketches)
+    maxima = np.array(
+        [H[i, L[i] - 1] if L[i] else np.uint64(0) for i in range(len(L))],
+        dtype=np.uint64)
+    # include duplicate and equal-to-element thresholds
+    thresholds = np.concatenate([maxima, maxima[:3],
+                                 H[0, : min(4, L[0])].astype(np.uint64)])
+    want = _below_counts(H, L, thresholds, side="right")
+    got = below_counts_device(H, L, thresholds)
+    assert np.array_equal(got, want)
