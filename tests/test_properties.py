@@ -72,3 +72,48 @@ def test_batch_equivalence_any_partition(kmers, rng):
     a = [(h, c, e) for (h, _km, c, e) in oracle.to_vec()]
     b = [(k.hash, k.count, k.extra_count) for k in eng.finalize()]
     assert a == b
+
+
+def test_fused_pipeline_fuzz_vs_oracle(tmp_path):
+    """Hypothesis fuzz: random FASTA/FASTQ content through the fused C++
+    parse+fold pipeline equals the NumpyEngine oracle path."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from finch_tpu.core.sketching import sketch_stream
+    from finch_tpu.models.params import FilterParams, SketchParams
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(st.text(alphabet="ACGTNacgtn", min_size=1, max_size=200),
+                 min_size=1, max_size=12),
+        st.booleans(),
+        st.integers(2, 40),
+    )
+    def check(seqs, fastq, size):
+        if fastq:
+            data = b"".join(
+                b"@r%d\n%s\n+\n%s\n" % (i, s.encode(), b"I" * len(s))
+                for i, s in enumerate(seqs))
+        else:
+            data = b"".join(
+                b">r%d\n%s\n" % (i, s.encode())
+                for i, s in enumerate(seqs))
+        path = tmp_path / "fuzz.fx"
+        path.write_bytes(data)
+        params = SketchParams.mash(kmers_to_sketch=size, final_size=size,
+                                   no_strict=True)
+        fused = sketch_stream(str(path), "x", params,
+                              FilterParams(filter_on=False),
+                              backend="native", parser_threads=3)
+        ref = sketch_stream(str(path), "x", params,
+                            FilterParams(filter_on=False),
+                            backend="numpy", parser_threads=1)
+        assert [(k.hash, k.kmer, k.count, k.extra_count)
+                for k in fused.hashes] == \
+               [(k.hash, k.kmer, k.count, k.extra_count)
+                for k in ref.hashes]
+        assert (fused.seq_length, fused.num_valid_kmers) == \
+               (ref.seq_length, ref.num_valid_kmers)
+
+    check()
