@@ -26,9 +26,10 @@ from finch_tpu.ops.bottomk import U64_MAX
 
 
 @partial(jax.jit, static_argnames=("k", "seed", "has_max_hash", "mesh",
-                                   "axis", "use_kernel"))
+                                   "axis", "use_kernel", "composite"))
 def _sharded_step(state, batch_packed, batch_rc, nvalid, max_hash,
-                  *, k, seed, has_max_hash, mesh, axis, use_kernel=False):
+                  *, k, seed, has_max_hash, mesh, axis, use_kernel=False,
+                  composite=False):
     """state: (n, C) arrays sharded on axis 0; batch: (n, B) sharded on
     axis 0; nvalid: (n,) per-shard valid counts."""
 
@@ -37,7 +38,7 @@ def _sharded_step(state, batch_packed, batch_rc, nvalid, max_hash,
         new_state, below = bottomk.sketch_step(
             st, pk[0], rc[0], nv[0], mh,
             k=k, seed=seed, has_max_hash=has_max_hash,
-            use_kernel=use_kernel)
+            use_kernel=use_kernel, composite=composite)
         below = jax.lax.psum(below, axis)
         return (jax.tree.map(lambda x: x[None], new_state), below[None])
 
@@ -125,6 +126,7 @@ class ShardedSketchEngine:
         self._mh = (jnp.uint64(self.max_hash) if self.max_hash is not None
                     else jnp.uint64(0))
         self._use_kernel = bottomk.auto_use_kernel()
+        self.wants_composite = self._use_kernel
 
     def _put(self, local_rows: np.ndarray):
         """Place (n_local, ...) process-local rows as the process's part
@@ -168,12 +170,15 @@ class ShardedSketchEngine:
     def _step(self, pk: np.ndarray, rc: np.ndarray) -> None:
         n = self.n_local
         total = len(pk)
+        composite = pk.dtype == np.uint32
         # multi-process: the jitted program's shapes must agree across
         # processes, so the shard width is the fixed bpd, not data-derived
         per_shard = (self._bucket(self.bpd) if self.process_local
                      else self._bucket((total + n - 1) // n))
-        pk_pad = np.zeros((n, per_shard), dtype=np.uint64)
-        rc_pad = np.zeros((n, per_shard), dtype=np.uint8)
+        pk_pad = np.zeros((n, per_shard),
+                          dtype=np.uint32 if composite else np.uint64)
+        rc_pad = np.zeros((n, per_shard),
+                          dtype=np.uint32 if composite else np.uint8)
         nvalid = np.zeros((n,), dtype=np.uint32)
         for i in range(n):
             sl = slice(i * per_shard, min((i + 1) * per_shard, total))
@@ -191,7 +196,7 @@ class ShardedSketchEngine:
                 self.state, pk_d, rc_d, nv_d, self._mh,
                 k=self.params.k, seed=self.params.hash_seed,
                 has_max_hash=is_scaled, mesh=self.mesh, axis=self.axis,
-                use_kernel=self._use_kernel)
+                use_kernel=self._use_kernel, composite=composite)
             if not is_scaled:
                 self.state = new_state
                 return

@@ -197,3 +197,31 @@ if pid == 0:
     assert got["h"].tolist() == [k.hash for k in want]
     assert got["c"].tolist() == [k.count for k in want]
     assert got["e"].tolist() == [k.extra_count for k in want]
+
+
+def test_sharded_engine_composite_input():
+    """Composite u32-plane batches through the sharded engine equal the
+    classic path (XLA fallback on the CPU mesh; kernel on real TPU)."""
+    import jax
+    import numpy as np
+
+    from finch_tpu.models.params import SketchParams
+    from finch_tpu.parallel import ShardedSketchEngine, make_mesh
+
+    mesh = make_mesh(min(8, len(jax.devices())))
+    params = SketchParams.mash(kmers_to_sketch=64, final_size=64,
+                               no_strict=True)
+    e1 = ShardedSketchEngine(params, mesh, batch_size_per_device=512)
+    e2 = ShardedSketchEngine(params, mesh, batch_size_per_device=512)
+    rng = np.random.default_rng(12)
+    for _ in range(2):
+        pk = rng.integers(0, 4 ** 21, size=6000, dtype=np.uint64)
+        rc = rng.integers(0, 2, size=6000, dtype=np.uint8)
+        comp = (pk << np.uint64(1)) | rc
+        lo = (comp & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        hi = (comp >> np.uint64(32)).astype(np.uint32)
+        e1.update(pk, rc)
+        e2.update(lo, hi)
+    a = [(k.hash, k.count, k.extra_count) for k in e1.finalize()]
+    b = [(k.hash, k.count, k.extra_count) for k in e2.finalize()]
+    assert a == b
