@@ -435,25 +435,57 @@ def _calc_distances_batched(queries, refs,
 def _calc_distances_gram(sketches, scale: float, k: float,
                          max_distance: float) -> List[SketchDistance]:
     """All-vs-all via the Gram-matrix engine; output order matches the
-    serial ref-major/query-minor loop (main.rs:315-334)."""
-    from finch_tpu.core.distance import distance_from_stats
+    serial ref-major/query-minor loop (main.rs:315-334).
+
+    The float math runs vectorized in f64 over the whole (N, N) stat
+    matrices and only the surviving (mash <= max_distance, non-self)
+    pairs materialize as SketchDistance objects — at 10k sketches the
+    per-pair Python loop alone would cost minutes."""
+    import numpy as np
+
+    from finch_tpu.core.distance import SketchDistance
     from finch_tpu.parallel.mxu_dist import all_pairs_stats, pack_db
 
     H, L = pack_db([s.hash_array() for s in sketches])
     common, i_m, j_m = all_pairs_stats(H, L, scale=scale)
+    c = common.astype(np.float64)
+    j64 = j_m.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        containment = np.where(j_m == 0, 0.0, c / j64)
+        total = i_m - common + j_m
+        jaccard = np.where(total == 0, 1.0,
+                           c / np.maximum(total, 1).astype(np.float64))
+        mash = np.where(
+            jaccard == 0.0, np.inf,
+            -1.0 * np.log((2.0 * jaccard) / (1.0 + jaccard)) / k)
+    mash = np.minimum(1.0, np.maximum(0.0, mash))
+
+    keep = mash <= max_distance
+    np.fill_diagonal(keep, False)
+    # struct-equality self-skip like main.rs:322 (duplicate sketches at
+    # different indices are skipped too) — only probe name-equal pairs
+    names = [s.name for s in sketches]
+    by_name = {}
+    for ix, nm in enumerate(names):
+        by_name.setdefault(nm, []).append(ix)
+    for ixs in by_name.values():
+        for a in ixs:
+            for b in ixs:
+                if a != b and keep[a, b] and sketches[a] == sketches[b]:
+                    keep[a, b] = False
+
     distances = []
-    for jr, ref_sketch in enumerate(sketches):
-        for iq, query_sketch in enumerate(sketches):
-            # struct-equality self-skip like main.rs:322 (duplicate
-            # sketches at different indices are skipped too)
-            if iq == jr or (query_sketch.name == ref_sketch.name
-                            and query_sketch == ref_sketch):
-                continue
-            d = distance_from_stats(
-                int(common[iq, jr]), int(i_m[iq, jr]), int(j_m[iq, jr]),
-                k, query_sketch.name, ref_sketch.name)
-            if d.mash_distance <= max_distance:
-                distances.append(d)
+    # ref-major, query-minor order (transpose of C order on [iq, jr])
+    for jr, iq in np.argwhere(keep.T):
+        distances.append(SketchDistance(
+            containment=float(containment[iq, jr]),
+            jaccard=float(jaccard[iq, jr]),
+            mash_distance=float(mash[iq, jr]),
+            common_hashes=int(common[iq, jr]),
+            total_hashes=int(total[iq, jr]),
+            query=names[iq],
+            reference=names[jr],
+        ))
     return distances
 
 

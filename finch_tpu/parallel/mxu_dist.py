@@ -157,16 +157,13 @@ def _gram_accumulate(rid: jnp.ndarray, sid: jnp.ndarray, n_shared,
 
 
 def all_pairs_common(hashes_padded: np.ndarray, lengths: np.ndarray,
-                     run_block: int = 2048,
-                     batch_elems: Optional[int] = None) -> np.ndarray:
+                     run_block: int = 2048) -> np.ndarray:
     """Exact |q ∩ r| for all sketch pairs. (N, N) int64; the diagonal is
     the sketch sizes.
 
-    `batch_elems` bounds the size of each global sort (memory); element
-    batches are exact because intersections only need pairs *within* a
-    batch when batches split the hash SPACE, so we batch by hash range:
-    sort once conceptually — implemented as one sort when the DB fits
-    (the common case; 10k x 1k = 10M elements ~ 160MB), else range-split.
+    Device memory is bounded by the one global sort (~16 bytes per
+    element plus payload; 10k x 1k = 10M elements ~ 160 MB). DBs beyond
+    one chip's memory shard over a mesh via `sharded_common`.
     """
     n, k = hashes_padded.shape
     flat_h = jnp.asarray(hashes_padded.reshape(-1))
