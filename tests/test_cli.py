@@ -282,3 +282,44 @@ def test_full_workflow_chain(tmp_path):
     assert list(hist) == [paths[0]]
     info = run("info", sks[0])
     assert "Estimated # of Unique Kmers" in info
+
+
+def test_dist_pairwise_gram_float_parity(tmp_path):
+    """dist --pairwise (Gram engine, vectorized f64) must byte-match the
+    per-pair serial engine's JSON: same values, same ryu float text, same
+    ref-major order (main.rs:315-334)."""
+    import numpy as np
+
+    rng = np.random.default_rng(6)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    files = []
+    base_seq = bases[rng.integers(0, 4, size=600)]
+    for i in range(4):
+        seq = base_seq.copy()
+        # mutate a sliver so pairs share most hashes (non-trivial floats)
+        pos = rng.integers(0, len(seq), size=10 + 30 * i)
+        seq[pos] = bases[rng.integers(0, 4, size=len(pos))]
+        f = tmp_path / f"g{i}.fa"
+        f.write_bytes(b">g%d\n" % i + seq.tobytes() + b"\n")
+        files.append(str(f))
+    proc = finch("dist", "-p", "--n-hashes", "40", "-N", *files)
+    got = json.loads(proc.stdout)
+
+    # serial expectation through the library engine
+    import finch_tpu as ft
+    from finch_tpu.core.distance import distance
+
+    params = ft.SketchParams.mash(kmers_to_sketch=40, final_size=40,
+                                  no_strict=True)
+    filters = ft.FilterParams(filter_on=None, err_filter=0.21,
+                              strand_filter=0.1)
+    sketches = ft.sketch_files(files, params, filters, backend="numpy")
+    want = []
+    for ref in sketches:
+        for q in sketches:
+            if q == ref:
+                continue
+            d = distance(q, ref)
+            want.append(d.to_json_dict())
+    assert got == want
+    assert any(0.0 < d["jaccard"] < 1.0 for d in got)
