@@ -27,9 +27,13 @@ data = b"".join(reads)
 path = "/tmp/tsan_reads.fastq"
 open(path, "wb").write(data)
 
-# concurrent parse pipeline, many threads + tiny chunks
+# concurrent parse pipeline, many threads + tiny chunks, both layouts
 r = fn.StreamingParallelReader(path, k=21, threads=8, batch_size=1 << 14)
 n = sum(len(b[0]) for b in r)
+rc = fn.StreamingParallelReader(path, k=21, threads=8, batch_size=1 << 14,
+                                composite=True)
+nc = sum(len(b[0]) for b in rc)
+assert n == nc
 print("parallel parse kmers:", n)
 
 # fused sketch mode (shared atomic threshold + merge)
