@@ -191,7 +191,7 @@ class Sketch:
         """Count/moment stats over the intersection (python.rs:496-559).
 
         The two-pointer walk is replaced by its closed form (see
-        core/distance.py: both final pointers equal #\{h <= m\} with
+        core/distance.py: both final pointers equal #(h <= m) with
         m = min of the two maxima); the reference's exact online-moment
         update order is kept, run only over the common elements, so the
         f64 results are bit-identical to the streaming loop."""
