@@ -53,9 +53,19 @@ except Exception:  # pragma: no cover
 U32 = jnp.uint32
 U32_MAX = np.uint32(0xFFFFFFFF)
 
-COLH = 32      # column height: survivors selected per 32-lane column
-ROWS_OUT = 8   # composites extracted per column
-CHUNK_W = 2048  # lanes per chunk = COLH * CHUNK_W = 64k
+import os
+
+# column height: survivors selected per COLH-lane column. Exactness holds
+# for any value (a column with more than ROWS_OUT survivors trips the
+# overflow flag -> exact XLA fallback); larger COLH shrinks the candidate
+# output (b * ROWS_OUT/COLH) and therefore the stage-2 sort, at the cost
+# of one more bit of row-index encoding (k <= (63 - log2(COLH))//2) and
+# more frequent fallback on duplicate-dense streams. ROWS_OUT must stay a
+# multiple of 8 (Mosaic (8,128) tiling alignment on the output DMA).
+COLH = int(os.environ.get("FINCH_TPU_KERNEL_COLH", "32"))
+ROWS_OUT = 8
+ROW_BITS = (COLH - 1).bit_length()
+CHUNK_W = 2048  # lanes per chunk = COLH * CHUNK_W
 
 
 def _pair_min_rows(ehi, elo):
@@ -112,16 +122,18 @@ def _extract_kernel(k: int, seed: int, nchunks: int,
             keep = ((hhi < th) | ((hhi == th) & (hlo <= tl))) & (~is_pad)
 
             row = jax.lax.broadcasted_iota(jnp.uint32, (COLH, CHUNK_W), 0)
-            elo = (vlo << U32(5)) | row
-            ehi = (vhi << U32(5)) | (vlo >> U32(27))
+            rb = U32(ROW_BITS)
+            rbc = U32(32 - ROW_BITS)
+            elo = (vlo << rb) | row
+            ehi = (vhi << rb) | (vlo >> rbc)
             elo = jnp.where(keep, elo, U32_MAX)
             ehi = jnp.where(keep, ehi, U32_MAX)
 
             for r in range(ROWS_OUT):
                 mhi, mlo = _pair_min_rows(ehi, elo)
                 sent = (mhi == U32_MAX) & (mlo == U32_MAX)
-                clo = (mlo >> U32(5)) | (mhi << U32(27))
-                chi = mhi >> U32(5)
+                clo = (mlo >> rb) | (mhi << rbc)
+                chi = mhi >> rb
                 comp_lo = clo + U32(1)
                 carry = (comp_lo == U32(0)).astype(jnp.uint32)
                 comp_hi = chi + carry
@@ -167,7 +179,7 @@ def _extract_kernel(k: int, seed: int, nchunks: int,
 
 def supports(k: int, b: int) -> bool:
     """Kernel preconditions: row-index encoding fits, chunking divides."""
-    return (HAVE_PALLAS and k <= 29
+    return (HAVE_PALLAS and 2 * k + 1 + ROW_BITS <= 64
             and b % (COLH * CHUNK_W) == 0 and b >= COLH * CHUNK_W)
 
 
