@@ -225,3 +225,20 @@ def test_sharded_engine_composite_input():
     a = [(k.hash, k.count, k.extra_count) for k in e1.finalize()]
     b = [(k.hash, k.count, k.extra_count) for k in e2.finalize()]
     assert a == b
+
+
+def test_graft_entry_contract():
+    """The driver contract: entry() returns a jittable fn + args that
+    compile and run on the test mesh."""
+    import os
+    import sys
+
+    import jax
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out[0].shape == (1024,)
