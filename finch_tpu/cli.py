@@ -386,8 +386,9 @@ def _uniform_dist_params(queries, refs) -> bool:
     # the device engine uses u64::MAX as its pad sentinel; a (vanishingly
     # rare) genuine hash there must take the serial path for exactness
     u64_max = 0xFFFFFFFFFFFFFFFF
-    return all(s.hashes[-1].hash != u64_max
-               for s in (*queries, *refs) if s.hashes)
+    # hash_array (not hashes[-1]) so lazily-loaded DBs stay unmaterialized
+    return all(int(s.hash_array()[-1]) != u64_max
+               for s in (*queries, *refs) if len(s.hashes))
 
 
 def _calc_distances_batched(queries, refs,

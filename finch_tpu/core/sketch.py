@@ -27,6 +27,67 @@ class KmerCount:
         return (self.hash, self.kmer, self.count, self.extra_count, self.label)
 
 
+class LazyKmerCounts(list):
+    """KmerCount list materialized from struct-of-arrays on first element
+    access. Serialization readers hand sketches to the distance/device
+    paths, which only consume the SoA views (hash_array & co.) — served
+    directly from the arrays, so a 10k-sketch DB load never builds its
+    ~10^7 KmerCount objects unless something actually inspects them. No
+    code path mutates sketch.hashes in place (they are replaced
+    wholesale), so materialize-on-read is sufficient."""
+
+    __slots__ = ("_soa",)
+
+    def __init__(self, h_arr, kmer_list, c_arr, e_arr):
+        super().__init__()
+        self._soa = (np.asarray(h_arr, dtype=np.uint64), kmer_list,
+                     np.asarray(c_arr, dtype=np.uint32),
+                     np.asarray(e_arr, dtype=np.uint32))
+
+    def _force(self) -> None:
+        soa = self._soa
+        if soa is None:
+            return
+        self._soa = None
+        h, ks, c, e = soa
+        super().extend(
+            KmerCount(hash=hh, kmer=km, count=cc, extra_count=ee)
+            for hh, km, cc, ee in zip(h.tolist(), ks, c.tolist(),
+                                      e.tolist()))
+
+    def __len__(self):
+        if self._soa is not None:
+            return len(self._soa[0])
+        return super().__len__()
+
+    def __iter__(self):
+        self._force()
+        return super().__iter__()
+
+    def __getitem__(self, i):
+        self._force()
+        return super().__getitem__(i)
+
+    def __contains__(self, x):
+        self._force()
+        return super().__contains__(x)
+
+    def __reversed__(self):
+        self._force()
+        return super().__reversed__()
+
+    def __eq__(self, other):
+        self._force()
+        if isinstance(other, LazyKmerCounts):
+            other._force()
+        return list.__eq__(self, other)
+
+    def __ne__(self, other):
+        return not self.__eq__(other)
+
+    __hash__ = None
+
+
 @dataclass
 class Sketch:
     name: str
@@ -41,17 +102,28 @@ class Sketch:
         return len(self.hashes)
 
     def is_empty(self) -> bool:
-        return not self.hashes
+        return len(self.hashes) == 0
 
     # --- struct-of-arrays views (device/distance paths) ---
+    # served straight from a lazy container's arrays when nothing has
+    # materialized the KmerCount objects yet
 
     def hash_array(self) -> np.ndarray:
+        soa = getattr(self.hashes, "_soa", None)
+        if soa is not None:
+            return soa[0]
         return np.asarray([kc.hash for kc in self.hashes], dtype=np.uint64)
 
     def count_array(self) -> np.ndarray:
+        soa = getattr(self.hashes, "_soa", None)
+        if soa is not None:
+            return soa[2]
         return np.asarray([kc.count for kc in self.hashes], dtype=np.uint32)
 
     def extra_count_array(self) -> np.ndarray:
+        soa = getattr(self.hashes, "_soa", None)
+        if soa is not None:
+            return soa[3]
         return np.asarray([kc.extra_count for kc in self.hashes],
                           dtype=np.uint32)
 

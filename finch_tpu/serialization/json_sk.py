@@ -23,7 +23,8 @@ import json
 import math
 from typing import List
 
-from finch_tpu.core.sketch import KmerCount, Sketch
+from finch_tpu.core.sketch import (KmerCount, LazyKmerCounts,
+                                   Sketch)
 from finch_tpu.errors import FinchSchemaError
 from finch_tpu.models.params import FilterParams, SketchParams
 
@@ -139,22 +140,22 @@ def read_sk_file(data: bytes, path: str = "<bytes>") -> List[Sketch]:
         hashes = js.get("hashes", [])
         kmers = js.get("kmers")
         counts = js.get("counts")
-        # bulk-parse the decimal strings through numpy (5x faster than
-        # per-element int()); object construction stays, semantics don't
-        h_list = np.array(hashes, dtype=np.uint64).tolist() if hashes \
-            else []
+        # bulk-parse the decimal strings through numpy and defer the
+        # KmerCount objects entirely: the distance/device paths only read
+        # the SoA views, so a DB load costs array parses, not ~10^7
+        # object constructions (LazyKmerCounts materializes on demand
+        # with identical missing-count / extra_count=count//2 semantics)
+        h_arr = (np.array(hashes, dtype=np.uint64) if hashes
+                 else np.empty(0, dtype=np.uint64))
         if counts is not None:
-            c_list = np.array(counts, dtype=np.int64).tolist()
-            e_list = (np.array(counts, dtype=np.int64) // 2).tolist()
+            c_arr = np.array(counts, dtype=np.int64)
+            e_arr = c_arr // 2
         else:
-            c_list = [1] * len(h_list)
-            e_list = [0] * len(h_list)
+            c_arr = np.ones(len(h_arr), dtype=np.int64)
+            e_arr = np.zeros(len(h_arr), dtype=np.int64)
         k_list = ([k.encode("utf-8") for k in kmers]
-                  if kmers is not None else [b""] * len(h_list))
-        kmercounts = [
-            KmerCount(hash=h, kmer=km, count=c, extra_count=e)
-            for h, km, c, e in zip(h_list, k_list, c_list, e_list)
-        ]
+                  if kmers is not None else [b""] * len(h_arr))
+        kmercounts = LazyKmerCounts(h_arr, k_list, c_arr, e_arr)
         filters = js.get("filters") or {}
         filter_params = FilterParams.from_serialized(filters)
         sketches.append(Sketch(

@@ -187,3 +187,47 @@ def test_truncated_real_files_are_clean_errors(tmp_path):
                 open_sketch_file(str(p))
             except Exception:
                 pass  # clean error path
+
+
+def test_lazy_sk_load_serves_arrays_without_materializing():
+    """DB loads hand the distance paths SoA views without building
+    KmerCount objects; element access materializes transparently with
+    identical objects to the eager path."""
+    import numpy as np
+
+    from finch_tpu.core.sketch import KmerCount, LazyKmerCounts, Sketch
+    from finch_tpu.models.params import FilterParams, SketchParams
+    from finch_tpu.serialization.json_sk import (multisketch_to_json_bytes,
+                                                 read_sk_file)
+
+    rng = np.random.default_rng(3)
+    params = SketchParams.mash(kmers_to_sketch=50, final_size=50,
+                               no_strict=True)
+    hs = np.sort(rng.choice(1 << 50, size=50, replace=False)
+                 .astype(np.uint64))
+    kcs = [KmerCount(hash=int(h), kmer=b"A" * 21, count=3, extra_count=1)
+           for h in hs]
+    src = Sketch(name="x", seq_length=1, num_valid_kmers=1, comment="",
+                 hashes=kcs, filter_params=FilterParams(),
+                 sketch_params=params)
+    data = multisketch_to_json_bytes([src])
+
+    [loaded] = read_sk_file(data)
+    assert isinstance(loaded.hashes, LazyKmerCounts)
+    # SoA views must not materialize
+    assert np.array_equal(loaded.hash_array(), hs)
+    assert (loaded.count_array() == 3).all()
+    assert len(loaded.hashes) == 50
+    assert loaded.hashes._soa is not None, "SoA access materialized"
+    # element access materializes with exact eager-path equality
+    # (serialization round-trip sets extra_count = count // 2)
+    assert loaded.hashes[0].hash == int(hs[0])
+    assert loaded.hashes._soa is None
+    assert [k.astuple() for k in loaded.hashes] == [
+        (int(h), b"A" * 21, 3, 1, None) for h in hs]
+    # equality against a plain list works in both orders
+    plain = list(read_sk_file(data)[0].hashes)
+    [again] = read_sk_file(data)
+    assert again.hashes == plain
+    [again2] = read_sk_file(data)
+    assert plain == again2.hashes
