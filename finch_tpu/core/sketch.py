@@ -50,10 +50,19 @@ class LazyKmerCounts(list):
             return
         self._soa = None
         h, ks, c, e = soa
+        if callable(ks):
+            # deferred kmer/label decode (e.g. per-element capnp Data
+            # pointers); returns (kmer_list, label_list or None)
+            ks, labels = ks()
+        else:
+            labels = None
+        if labels is None:
+            labels = [None] * len(ks)
         super().extend(
-            KmerCount(hash=hh, kmer=km, count=cc, extra_count=ee)
-            for hh, km, cc, ee in zip(h.tolist(), ks, c.tolist(),
-                                      e.tolist()))
+            KmerCount(hash=hh, kmer=km, count=cc, extra_count=ee,
+                      label=lb)
+            for hh, km, cc, ee, lb in zip(h.tolist(), ks, c.tolist(),
+                                          e.tolist(), labels))
 
     def __len__(self):
         if self._soa is not None:

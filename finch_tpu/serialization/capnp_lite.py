@@ -244,6 +244,30 @@ class ListReader:
     def structs(self):
         return [self.get_struct(i) for i in range(self.count)]
 
+    def composite_layout(self):
+        """(data_words, ptr_words) of a composite list's elements, or
+        None for pointer lists."""
+        if self.elem_size != 7:
+            return None
+        return ((self.tag >> 32) & 0xFFFF, (self.tag >> 48) & 0xFFFF)
+
+    def data_words_matrix(self):
+        """(count, data_words) uint64 matrix of every element's data
+        section — a zero-copy strided view for bulk field extraction."""
+        import numpy as np
+
+        layout = self.composite_layout()
+        if layout is None:
+            raise CapnpError("not a composite struct list")
+        dw, pw = layout
+        stride = dw + pw
+        seg = self.segments[self.seg_id]
+        start = self.word_ofs * WORD
+        full = np.frombuffer(
+            seg, dtype=np.uint64, count=self.count * stride,
+            offset=start).reshape(self.count, stride)
+        return full[:, :dw]
+
 
 # ---------------------------------------------------------------------------
 # Writer (single segment)

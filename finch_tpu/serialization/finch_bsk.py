@@ -10,7 +10,8 @@ from __future__ import annotations
 
 from typing import List
 
-from finch_tpu.core.sketch import KmerCount, Sketch
+from finch_tpu.core.sketch import (KmerCount, LazyKmerCounts,
+                                   Sketch)
 from finch_tpu.errors import FinchSchemaError
 from finch_tpu.models.params import FilterParams, SketchParams, U32_MAX
 from finch_tpu.serialization.capnp_lite import MessageBuilder, MessageReader
@@ -113,10 +114,31 @@ def read_finch_file(data: bytes) -> List[Sketch]:
     for cs in cap_sketches.structs():
         hashes = []
         hl = cs.get_ptr(2)
-        if hl is not None:
+        if hl is not None and hl.composite_layout() == (2, 2):
+            # bulk path: hash/count/extra come from a strided view of the
+            # element data words; the kmer/label Data pointers decode
+            # per-element only if something materializes the KmerCounts
+            # (the distance paths read just the SoA views)
+            import numpy as np
+
+            dmat = hl.data_words_matrix()
+            h_arr = dmat[:, 0].copy()
+            c_arr = (dmat[:, 1] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            e_arr = (dmat[:, 1] >> np.uint64(32)).astype(np.uint32)
+
+            def _decode(hl=hl):
+                kmers, labels = [], []
+                for ch in hl.structs():
+                    # presence (has_label), not truthiness: an empty-but-
+                    # present Data field round-trips as b""
+                    # (mod.rs:178-182)
+                    kmers.append(ch.get_data(0) or b"")
+                    labels.append(ch.get_data(1))
+                return kmers, labels
+
+            hashes = LazyKmerCounts(h_arr, _decode, c_arr, e_arr)
+        elif hl is not None:
             for ch in hl.structs():
-                # presence (has_label), not truthiness: an empty-but-
-                # present Data field round-trips as b"" (mod.rs:178-182)
                 label = ch.get_data(1)
                 hashes.append(KmerCount(
                     hash=ch.get_u64(0),
