@@ -225,6 +225,14 @@ class ListReader:
         return list(struct.unpack_from(
             f"<{self.count}{fmt}", seg, start))
 
+    def primitives_array(self, dtype):
+        """Zero-copy numpy view of a primitive list."""
+        import numpy as np
+
+        seg = self.segments[self.seg_id]
+        return np.frombuffer(seg, dtype=dtype, count=self.count,
+                             offset=self.word_ofs * WORD)
+
     def get_struct(self, index: int) -> StructReader:
         if self.elem_size == 7:
             data_words = (self.tag >> 32) & 0xFFFF

@@ -14,7 +14,8 @@ from __future__ import annotations
 
 from typing import List
 
-from finch_tpu.core.sketch import KmerCount, Sketch
+from finch_tpu.core.sketch import (KmerCount,  # noqa: F401
+                                   LazyKmerCounts, Sketch)
 from finch_tpu.models.params import FilterParams, SketchParams
 from finch_tpu.serialization.capnp_lite import MessageBuilder, MessageReader
 
@@ -69,19 +70,24 @@ def read_mash_file(data: bytes) -> List[Sketch]:
     sketches: List[Sketch] = []
     if refs is None:
         return sketches
+    import numpy as np
+
     for ref in refs.structs():
         hl = ref.get_ptr(5)
-        hashes = hl.primitives("Q") if hl is not None else []
+        h_arr = (hl.primitives_array(np.uint64).copy()
+                 if hl is not None else np.empty(0, dtype=np.uint64))
         cl = ref.get_ptr(6)
-        counts = cl.primitives("I") if cl is not None else []
-        if not counts:
-            kmercounts = [KmerCount(hash=h, kmer=b"", count=1, extra_count=0)
-                          for h in hashes]
+        # missing counts -> count=1, extra=0; present -> extra = count/2
+        # (mash.rs:94-118); SoA views serve the distance paths without
+        # building KmerCount objects
+        if cl is None or cl.count == 0:
+            c_arr = np.ones(len(h_arr), dtype=np.uint32)
+            e_arr = np.zeros(len(h_arr), dtype=np.uint32)
         else:
-            kmercounts = [
-                KmerCount(hash=h, kmer=b"", count=c, extra_count=c // 2)
-                for h, c in zip(hashes, counts)
-            ]
+            c_arr = cl.primitives_array(np.uint32).copy()
+            e_arr = c_arr // 2
+        kmercounts = LazyKmerCounts(h_arr, [b""] * len(h_arr), c_arr,
+                                    e_arr)
         sketches.append(Sketch(
             name=ref.get_text(2) or "",
             seq_length=ref.get_u64(1),
