@@ -135,25 +135,3 @@ class Sketch:
             return soa[3]
         return np.asarray([kc.extra_count for kc in self.hashes],
                           dtype=np.uint32)
-
-
-
-def kmer_counts_from_arrays(hashes, kmers, counts, extras,
-                            labels=None) -> List[KmerCount]:
-    """Assemble KmerCount list from SoA arrays (kmers: list[bytes] or
-    (n,k) uint8 array)."""
-    out = []
-    n = len(hashes)
-    if hasattr(kmers, "shape") and getattr(kmers, "ndim", 1) == 2:
-        kmer_list = [bytes(row) for row in kmers]
-    else:
-        kmer_list = list(kmers)
-    for i in range(n):
-        out.append(KmerCount(
-            hash=int(hashes[i]),
-            kmer=kmer_list[i],
-            count=int(counts[i]),
-            extra_count=int(extras[i]),
-            label=None if labels is None else labels[i],
-        ))
-    return out

@@ -218,13 +218,6 @@ class ListReader:
         return struct.unpack_from(
             "<" + fmt, seg, self.word_ofs * WORD + index * size)[0]
 
-    def primitives(self, fmt: str) -> list:
-        size = {"I": 4, "Q": 8, "H": 2, "B": 1, "f": 4, "d": 8}[fmt]
-        seg = self.segments[self.seg_id]
-        start = self.word_ofs * WORD
-        return list(struct.unpack_from(
-            f"<{self.count}{fmt}", seg, start))
-
     def primitives_array(self, dtype):
         """Zero-copy numpy view of a primitive list."""
         import numpy as np
