@@ -582,8 +582,8 @@ def run(argv=None) -> None:
     elif args.subcommand == "dist":
         max_dist = _get_float(args, "max_distance", 1.0, 1.0)
         all_sketches = parse_mash_files(args)
-        if args.pairwise and args.queries:
-            raise CliError("--pairwise conflicts with --queries")
+        # the reference silently prefers --pairwise when both are given
+        # (main.rs:92-107) — match it for scripted-pipeline parity
         if args.pairwise:
             query_sketches = list(all_sketches)
         elif args.queries:
@@ -603,7 +603,9 @@ def run(argv=None) -> None:
         import json as _json
 
         sketches = parse_mash_files(args)
-        hist_map = {s.name: hist(s.hashes) for s in sketches}
+        # count_array serves lazily-loaded DBs without materializing
+        # KmerCount objects (same bincount result as the KmerCount path)
+        hist_map = {s.name: hist(s.count_array()) for s in sketches}
         payload = _json.dumps(hist_map, ensure_ascii=False,
                               separators=(",", ":")).encode("utf-8")
         output_to(lambda w: w.write(payload), args.output_file, ".json")
@@ -613,29 +615,53 @@ def run(argv=None) -> None:
 
         sketches = parse_mash_files(args)
         for sketch in sketches:
-            # text format faithful to main.rs:146-187
+            # text format faithful to main.rs:146-187, computed from the
+            # SoA views so DB-scale info never builds KmerCount objects or
+            # loops per kmer byte in Python
             sys.stdout.write(f"{sketch.name}")
             sys.stdout.write(f" (from {sketch.seq_length}bp)\n")
-            kmers = sketch.hashes
-            c = cardinality(kmers)
+            counts = sketch.count_array()
+            hash_arr = sketch.hash_array()
+            c = cardinality(hash_arr)
             sys.stdout.write(f"  Estimated # of Unique Kmers: {c}\n")
-            histogram = hist(kmers)
+            histogram = np.asarray(hist(counts), dtype=np.int64)
+            # the reference folds (i+1)*v and v serially in f32
+            # (main.rs:159-164); adding a 0f32 term never changes a
+            # non-negative accumulator, so folding only the nonzero
+            # entries reproduces it bit-for-bit in O(distinct depths)
             num = np.float32(0)
             den = np.float32(0)
-            for i, v in enumerate(histogram):
-                num += np.float32(i + 1) * np.float32(v)
+            for i in np.nonzero(histogram)[0]:
+                v = histogram[i]
+                num += np.float32(np.float32(i + 1) * np.float32(v))
                 den += np.float32(v)
-            mean = np.float32(num / den) if den or num else np.float32("nan")
+            mean = (np.float32(num / den) if len(histogram)
+                    else np.float32("nan"))
             sys.stdout.write(
                 f"  Estimated Average Depth: {_fmt_f32(mean)}x\n")
-            total_gc = 0
-            for kc in kmers:
-                total_gc += sum(
-                    kc.count if b in b"GgCc" else 0 for b in kc.kmer)
-            if not kmers:
+            kmer_bytes = sketch.kmer_list()
+            klen = len(kmer_bytes[0]) if kmer_bytes else 0
+            if kmer_bytes and all(len(km) == klen for km in kmer_bytes):
+                # u64 math with wraparound, like the reference's release
+                # build (total_gc: u64, main.rs:166-176)
+                arr = np.frombuffer(b"".join(kmer_bytes),
+                                    dtype=np.uint8).reshape(len(kmer_bytes),
+                                                            klen)
+                is_gc = ((arr == ord("G")) | (arr == ord("g"))
+                         | (arr == ord("C")) | (arr == ord("c")))
+                per_kmer = is_gc.sum(axis=1, dtype=np.uint64)
+                with np.errstate(over="ignore"):
+                    total_gc = int((per_kmer
+                                    * counts.astype(np.uint64)).sum(
+                                        dtype=np.uint64))
+            else:  # ragged kmers (malformed input): faithful slow path
+                total_gc = 0
+                for km, cnt in zip(kmer_bytes, counts.tolist()):
+                    total_gc += sum(cnt if b in b"GgCc" else 0 for b in km)
+            if not len(counts):
                 total_bases = np.float32(0)
             else:
-                total_bases = np.float32(num * np.float32(len(kmers[0].kmer)))
+                total_bases = np.float32(num * np.float32(klen))
             pct = np.float32(np.float32(100) * np.float32(total_gc)
                              / total_bases)
             sys.stdout.write(f"  Estimated % GC: {_fmt_f32(pct)}%\n")

@@ -113,15 +113,16 @@ def old_distance_arrays(query: np.ndarray, ref: np.ndarray):
             "old-dist requires a non-empty query sketch")
     if len(ref) == 0:
         return float("nan"), float("nan"), 0, 0
-    i = 0
-    common = 0
-    total = 0
-    for rh in ref:
-        while query[i] < rh and i < len(query) - 1:
-            i += 1
-        if query[i] == rh:
-            common += 1
-        total += 1
+    # vectorized transcription of the reference's monotone pointer walk:
+    # for each ref hash the pointer advances to the first query index with
+    # query[i] >= rh, clamped to len-1, and never moves backward
+    # (np.maximum.accumulate keeps the never-backward rule faithful even
+    # for pathological unsorted inputs)
+    idx = np.minimum(np.searchsorted(query, ref, side="left"),
+                     len(query) - 1)
+    idx = np.maximum.accumulate(idx)
+    common = int((query[idx] == ref).sum())
+    total = len(ref)
     containment = common / total
     jaccard = common / (common + 2 * (total - common))
     return containment, jaccard, common, total

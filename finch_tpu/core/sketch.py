@@ -85,6 +85,29 @@ class LazyKmerCounts(list):
         self._force()
         return super().__reversed__()
 
+    def __repr__(self):
+        self._force()
+        return super().__repr__()
+
+    # list mutators/readers must force first: operating on the empty
+    # backing store of an unforced container would silently reorder or
+    # drop elements (public-API footgun — ADVICE r2)
+    def _make_forcing(name):  # noqa: N805 — class-body helper
+        def method(self, *args, **kwargs):
+            self._force()
+            return getattr(list, name)(self, *args, **kwargs)
+
+        method.__name__ = name
+        return method
+
+    for _name in ("append", "extend", "insert", "remove", "pop", "clear",
+                  "index", "count", "sort", "reverse", "copy",
+                  "__setitem__", "__delitem__", "__add__", "__radd__",
+                  "__iadd__", "__mul__", "__rmul__", "__imul__",
+                  "__lt__", "__le__", "__gt__", "__ge__"):
+        locals()[_name] = _make_forcing(_name)
+    del _name, _make_forcing
+
     def __eq__(self, other):
         self._force()
         if isinstance(other, LazyKmerCounts):
@@ -135,3 +158,14 @@ class Sketch:
             return soa[3]
         return np.asarray([kc.extra_count for kc in self.hashes],
                           dtype=np.uint32)
+
+    def kmer_list(self) -> List[bytes]:
+        """The kmer byte strings, without materializing KmerCount objects
+        for lazily-loaded sketches (deferred decoders are invoked once)."""
+        soa = getattr(self.hashes, "_soa", None)
+        if soa is not None:
+            ks = soa[1]
+            if callable(ks):
+                ks, _labels = ks()
+            return list(ks)
+        return [kc.kmer for kc in self.hashes]

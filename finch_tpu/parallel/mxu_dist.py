@@ -156,6 +156,17 @@ def _gram_accumulate(rid: jnp.ndarray, sid: jnp.ndarray, n_shared,
     return common
 
 
+def _check_f32_gram_bound(k: int) -> None:
+    """The f32 Gram accumulation is exact only while per-pair common counts
+    stay below 2^24; a pair's common count is bounded by the padded sketch
+    length, so enforce the precondition instead of assuming it."""
+    if k >= 1 << 24:
+        raise ValueError(
+            "Gram distance engine: sketch length >= 2^24 exceeds the "
+            "exact-f32 accumulation bound; use the tile engine "
+            "(parallel.sharded_dist) for sketches this large")
+
+
 def all_pairs_common(hashes_padded: np.ndarray, lengths: np.ndarray,
                      run_block: int = 2048) -> np.ndarray:
     """Exact |q ∩ r| for all sketch pairs. (N, N) int64; the diagonal is
@@ -166,6 +177,7 @@ def all_pairs_common(hashes_padded: np.ndarray, lengths: np.ndarray,
     one chip's memory shard over a mesh via `sharded_common`.
     """
     n, k = hashes_padded.shape
+    _check_f32_gram_bound(k)
     flat_h = jnp.asarray(hashes_padded.reshape(-1))
     flat_s = jnp.tile(jnp.arange(n, dtype=jnp.int32)[:, None],
                       (1, k)).reshape(-1)
@@ -282,6 +294,7 @@ def sharded_common(hashes_padded: np.ndarray, lengths: np.ndarray,
         axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
     n, k = hashes_padded.shape
+    _check_f32_gram_bound(k)
     flat_h = jnp.asarray(hashes_padded.reshape(-1))
     flat_s = jnp.tile(jnp.arange(n, dtype=jnp.int32)[:, None],
                       (1, k)).reshape(-1)

@@ -62,6 +62,8 @@ class MessageReader:
 
 
 def _word(seg: memoryview, word_ofs: int) -> int:
+    if word_ofs < 0 or (word_ofs + 1) * WORD > len(seg):
+        raise CapnpError("capnp pointer outside segment bounds")
     return struct.unpack_from("<Q", seg, word_ofs * WORD)[0]
 
 
@@ -85,6 +87,8 @@ def read_pointer(segments, seg_id: int, word_ofs: int):
         if pad & 3 != 2:
             raise CapnpError("bad double-far landing pad")
         content_seg = pad >> 32
+        if content_seg >= len(segments):
+            raise CapnpError("double-far pointer to missing segment")
         content_ofs = (pad >> 3) & ((1 << 29) - 1)
         tag = _word(segments[target_seg], pad_ofs + 1)
         return _decode_tagged(segments, content_seg, content_ofs, tag)
@@ -100,15 +104,23 @@ def _sign30(v: int) -> int:
 
 
 def _decode_tagged(segments, seg_id, target, tag):
+    # bounds are validated here (and in ListReader for element extents):
+    # these files are parsed from untrusted input, so a malformed offset
+    # must raise a clean schema error, never index past a segment
+    seg_words = len(segments[seg_id]) // WORD
     kind = tag & 3
     if kind == 0:  # struct
         data_words = (tag >> 32) & 0xFFFF
         ptr_words = (tag >> 48) & 0xFFFF
+        if target < 0 or target + data_words + ptr_words > seg_words:
+            raise CapnpError("capnp struct outside segment bounds")
         return StructReader(segments, seg_id, target, data_words, ptr_words,
                             0)
     if kind == 1:  # list
         elem_size = (tag >> 32) & 7
         count = (tag >> 35) & ((1 << 29) - 1)
+        if target < 0:
+            raise CapnpError("capnp list outside segment bounds")
         return ListReader(segments, seg_id, target, elem_size, count)
     raise CapnpError(f"unsupported pointer kind {kind}")
 
@@ -172,13 +184,32 @@ class StructReader:
         obj = self.get_ptr(i)
         if obj is None:
             return None
-        return obj.as_bytes()[:-1].decode("utf-8")  # strip NUL
+        if not isinstance(obj, ListReader):
+            raise CapnpError("expected text pointer")
+        try:
+            return obj.as_bytes()[:-1].decode("utf-8")  # strip NUL
+        except UnicodeDecodeError:
+            raise CapnpError("capnp text is not valid UTF-8")
 
     def get_data(self, i: int) -> Optional[bytes]:
         obj = self.get_ptr(i)
         if obj is None:
             return None
+        if not isinstance(obj, ListReader):
+            raise CapnpError("expected data pointer")
         return obj.as_bytes()
+
+    # duck-type guards: corrupted pointers can hand a struct to code
+    # expecting a list; fail as a schema error, not an AttributeError
+    def _not_a_list(self, *a, **k):
+        raise CapnpError("expected list, found struct")
+
+    structs = composite_layout = primitives_array = _not_a_list
+    data_words_matrix = as_bytes = get_struct = _not_a_list
+
+    @property
+    def count(self):
+        raise CapnpError("expected list, found struct")
 
 
 ELEM_BITS = {0: 0, 1: 1, 2: 8, 3: 16, 4: 32, 5: 64, 6: 64}
@@ -192,15 +223,28 @@ class ListReader:
         self.segments = segments
         self.seg_id = seg_id
         self.elem_size = elem_size
+        seg_words = len(segments[seg_id]) // WORD
         if elem_size == 7:  # composite: count word holds total words
             tag = _word(segments[seg_id], word_ofs)
             self.tag = tag
             self.count = (tag >> 2) & ((1 << 30) - 1)  # element count in tag
             self.word_ofs = word_ofs + 1
+            dw = (tag >> 32) & 0xFFFF
+            pw = (tag >> 48) & 0xFFFF
+            if self.word_ofs + (dw + pw) * self.count > seg_words:
+                raise CapnpError("capnp composite list outside segment")
+            if dw + pw == 0 and self.count > seg_words:
+                # zero-size-struct amplification: a 0-word element layout
+                # lets a tag claim 2^29 elements inside any segment; the
+                # reference's traversal limit rejects the equivalent read
+                raise CapnpError("capnp zero-size list amplification")
         else:
             self.tag = 0
             self.count = count
             self.word_ofs = word_ofs
+            words = (count * ELEM_BITS[elem_size] + 63) // 64
+            if word_ofs + words > seg_words:
+                raise CapnpError("capnp list outside segment bounds")
 
     def __len__(self):
         return self.count
@@ -244,6 +288,15 @@ class ListReader:
 
     def structs(self):
         return [self.get_struct(i) for i in range(self.count)]
+
+    # duck-type guards (see StructReader): code expecting a struct must get
+    # a schema error when a corrupted pointer resolves to a list
+    def _not_a_struct(self, *a, **k):
+        raise CapnpError("expected struct, found list")
+
+    get_ptr = get_text = get_data = _not_a_struct
+    get_u64 = get_u32 = get_u16 = get_u8 = _not_a_struct
+    get_f64 = get_f32 = get_bool = _not_a_struct
 
     def composite_layout(self):
         """(data_words, ptr_words) of a composite list's elements, or

@@ -149,6 +149,12 @@ def read_sk_file(data: bytes, path: str = "<bytes>") -> List[Sketch]:
                  else np.empty(0, dtype=np.uint64))
         if counts is not None:
             c_arr = np.array(counts, dtype=np.int64)
+            # the reference's serde u32 deserialization errors on overflow
+            # rather than wrapping (json.rs:122-129); LazyKmerCounts casts
+            # to uint32, so reject out-of-range values here
+            if len(c_arr) and (c_arr.min() < 0 or c_arr.max() > 0xFFFFFFFF):
+                raise FinchSchemaError(
+                    f"Error parsing {path!r}: count out of u32 range")
             e_arr = c_arr // 2
         else:
             c_arr = np.ones(len(h_arr), dtype=np.int64)

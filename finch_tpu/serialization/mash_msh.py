@@ -86,6 +86,12 @@ def read_mash_file(data: bytes) -> List[Sketch]:
         else:
             c_arr = cl.primitives_array(np.uint32).copy()
             e_arr = c_arr // 2
+            if len(c_arr) != len(h_arr):
+                # the reference zips hashes64 with counts32, truncating to
+                # the shorter (mash.rs:105-118) — keep the SoA views and
+                # the materialized list in agreement
+                n = min(len(h_arr), len(c_arr))
+                h_arr, c_arr, e_arr = h_arr[:n], c_arr[:n], e_arr[:n]
         kmercounts = LazyKmerCounts(h_arr, [b""] * len(h_arr), c_arr,
                                     e_arr)
         sketches.append(Sketch(

@@ -179,6 +179,10 @@ def test_dist_pairwise_and_queries(tmp_path):
     dists = json.loads(proc.stdout)
     assert len(dists) == 1
     assert dists[0]["query"] == str(fa2)
+    # both given: --pairwise silently wins (reference main.rs:92-107)
+    proc = finch("dist", "-p", "-q", str(fa2), "--n-hashes", "10", "-N",
+                 QUERY_FA, str(fa2))
+    assert len(json.loads(proc.stdout)) == 2
 
 
 def test_hist_json():
