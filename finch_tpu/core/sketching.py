@@ -38,6 +38,12 @@ def _choose_reader(source, k: int, canonical: bool, batch_size: int,
 
     from finch_tpu.native import StreamingParallelReader
 
+    if k > 31:
+        # wide k-mers (32..=63) stream through the serial reader's
+        # two-word path; the parallel pipeline's chunk layout is
+        # single-word (narrow-k throughput machinery)
+        return KmerReader(source, k=k, canonical=canonical,
+                          batch_size=batch_size)
     cores = (os.cpu_count() or 1) if parser_threads is None \
         else parser_threads
     if cores > 1:
@@ -56,6 +62,8 @@ def _fused_native_ok(source, sketch_params: SketchParams,
     source is a path, and the scheme folds by hash (not AllCounts)."""
     if sketch_params.sketch_type == "none":
         return False
+    if sketch_params.k > 31:
+        return False  # wide k streams through the two-word serial path
     if isinstance(source, (bytes, bytearray, memoryview)):
         return False
     if backend == "native":

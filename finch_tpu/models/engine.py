@@ -42,23 +42,35 @@ def _retention_keep(params: SketchParams, h: np.ndarray) -> int:
 
 def _finalize_arrays(params: SketchParams, h, c, e, pk):
     """Retention rule + u32 count saturation on arrays (the object-free
-    fast path; kmers stay packed until the final survivors are known)."""
+    fast path; kmers stay packed until the final survivors are known).
+    `pk` is one u64 code array for k <= 31, or a (plo, phi) tuple of word
+    arrays on the wide (k > 31) path."""
     h = np.asarray(h, dtype=np.uint64)
     c = np.asarray(c, dtype=np.uint64)
     e = np.asarray(e, dtype=np.uint64)
-    pk = np.asarray(pk, dtype=np.uint64)
+    pks = ([np.asarray(w, dtype=np.uint64) for w in pk]
+           if isinstance(pk, tuple) else [np.asarray(pk, dtype=np.uint64)])
     real = c > 0
-    h, c, e, pk = h[real], c[real], e[real], pk[real]
+    h, c, e = h[real], c[real], e[real]
+    pks = [w[real] for w in pks]
     keep = _retention_keep(params, h)
-    h, c, e, pk = h[:keep], c[:keep], e[:keep], pk[:keep]
+    h, c, e = h[:keep], c[:keep], e[:keep]
+    pks = [w[:keep] for w in pks]
     c = np.minimum(c, np.uint64(U32_MAX)).astype(np.uint32)
     e = np.minimum(e, np.uint64(U32_MAX)).astype(np.uint32)
-    return h, c, e, pk
+    return h, c, e, (tuple(pks) if len(pks) == 2 else pks[0])
 
 
 def kmercounts_from_arrays(params: SketchParams, h, c, e, pk):
     """Materialize KmerCount objects (ascending hash) from arrays."""
-    kmer_bytes = unpack_kmers(np.asarray(pk, dtype=np.uint64), params.k)
+    if isinstance(pk, tuple):
+        from finch_tpu.native import unpack_kmers_w
+
+        kmer_bytes = unpack_kmers_w(
+            np.asarray(pk[0], dtype=np.uint64),
+            np.asarray(pk[1], dtype=np.uint64), params.k)
+    else:
+        kmer_bytes = unpack_kmers(np.asarray(pk, dtype=np.uint64), params.k)
     return [
         KmerCount(hash=int(h[i]), kmer=bytes(kmer_bytes[i]),
                   count=int(c[i]), extra_count=int(e[i]))
@@ -84,7 +96,14 @@ class NumpyEngine:
         self.h = np.empty(0, dtype=np.uint64)
         self.c = np.empty(0, dtype=np.uint64)
         self.e = np.empty(0, dtype=np.uint64)
-        self.pk = np.empty(0, dtype=np.uint64)
+        # payload: one word for k <= 31, (lo, hi) words for wide k
+        self.wide = params.k > 31
+        nw = 2 if self.wide else 1
+        self.pks = [np.empty(0, dtype=np.uint64) for _ in range(nw)]
+
+    @property
+    def pk(self):
+        return tuple(self.pks) if self.wide else self.pks[0]
 
     def _threshold(self) -> int:
         if self.params.sketch_type == "mash":
@@ -104,24 +123,35 @@ class NumpyEngine:
             return max(self.max_hash, int(self.h[-1]))
         return int(U64_MAX)
 
-    def update(self, packed: np.ndarray, rc: np.ndarray) -> None:
-        hashes = murmur3_packed(packed, self.params.k,
-                                self.params.hash_seed)
+    def update(self, packed, rc: np.ndarray) -> None:
+        if self.wide:
+            from finch_tpu.native import murmur3_packed_w
+
+            plo, phi = packed
+            hashes = murmur3_packed_w(plo, phi, self.params.k,
+                                      self.params.hash_seed)
+            pk_words = [np.asarray(plo, dtype=np.uint64),
+                        np.asarray(phi, dtype=np.uint64)]
+        else:
+            hashes = murmur3_packed(packed, self.params.k,
+                                    self.params.hash_seed)
+            pk_words = [np.asarray(packed, dtype=np.uint64)]
         thresh = self._threshold()
         if thresh < 0:
             mask = np.zeros(len(hashes), dtype=bool)
         else:
             mask = hashes <= np.uint64(thresh)
         hashes = hashes[mask]
-        packed = np.asarray(packed, dtype=np.uint64)[mask]
+        pk_words = [w[mask] for w in pk_words]
         rc = np.asarray(rc)[mask].astype(np.uint64)
 
         h = np.concatenate([self.h, hashes])
         c = np.concatenate([self.c, np.ones(len(hashes), dtype=np.uint64)])
         e = np.concatenate([self.e, rc])
-        pk = np.concatenate([self.pk, packed])
+        pks = [np.concatenate([s, w]) for s, w in zip(self.pks, pk_words)]
         order = np.argsort(h, kind="stable")
-        h, c, e, pk = h[order], c[order], e[order], pk[order]
+        h, c, e = h[order], c[order], e[order]
+        pks = [w[order] for w in pks]
         if len(h):
             boundary = np.empty(len(h), dtype=bool)
             boundary[0] = True
@@ -130,7 +160,7 @@ class NumpyEngine:
             h = h[idx]
             c = np.add.reduceat(c, idx)
             e = np.add.reduceat(e, idx)
-            pk = pk[idx]  # stable sort keeps first-seen kmer for a hash
+            pks = [w[idx] for w in pks]  # stable: first-seen kmer per hash
         # retention rule
         if self.params.sketch_type == "mash":
             keep = self.size
@@ -138,8 +168,8 @@ class NumpyEngine:
             below = int(np.searchsorted(h, np.uint64(self.max_hash),
                                         side="right"))
             keep = below + self.size
-        self.h, self.c, self.e, self.pk = (h[:keep], c[:keep], e[:keep],
-                                           pk[:keep])
+        self.h, self.c, self.e = h[:keep], c[:keep], e[:keep]
+        self.pks = [w[:keep] for w in pks]
 
     def finalize(self):
         return _finalize(self.params, self.h, self.c, self.e, self.pk)
@@ -157,18 +187,33 @@ class NativeEngine:
         from finch_tpu.native import NativeFold
 
         self.params = params
+        if params.k > 31:
+            # the identity-hash fold table stores one u64 payload word (a
+            # k <= 31 speed optimization); wide k runs the vectorized
+            # NumPy fold instead — same exact semantics, host path
+            self._fold = None
+            self._wide_impl = NumpyEngine(params)
+            return
         scheme = 1 if params.sketch_type == "scaled" else 0
         max_hash = params.max_hash() if scheme else 0
         self._fold = NativeFold(scheme, params.k, params.hash_seed,
                                 params.kmers_to_sketch, max_hash or 0)
 
-    def update(self, packed: np.ndarray, rc: np.ndarray) -> None:
+    def update(self, packed, rc: np.ndarray) -> None:
+        if self._fold is None:
+            self._wide_impl.update(packed, rc)
+            return
         self._fold.fold(packed, rc)
 
     def state_arrays(self):
         """(h, c, e, pk) retained-candidate arrays, ascending hash, with
         the retention rule applied — interchangeable with NumpyEngine's
         internal state for engine migration."""
+        if self._fold is None:
+            w = self._wide_impl
+            keep = _retention_keep(self.params, w.h)
+            return (w.h[:keep], w.c[:keep], w.e[:keep],
+                    tuple(x[:keep] for x in w.pks))
         h, c, e, pk = self._fold.result()
         keep = _retention_keep(self.params, h)
         return h[:keep], c[:keep], e[:keep], pk[:keep]
@@ -194,16 +239,23 @@ class JaxEngine:
         self.size = params.kmers_to_sketch
         self.max_hash = params.max_hash()
         self.batch_size = batch_size
+        self.wide = params.k > 31
         # initial capacity: mash is fixed at kmers_to_sketch; scaled starts
         # small and grows when below-threshold distinct hashes approach it.
         if params.sketch_type == "mash":
             self.capacity = max(1, self.size)
         else:
             self.capacity = max(2 * self.size, 1 << 12)
-        self.state = bottomk.empty_state(self.capacity)
+        if self.wide:
+            from finch_tpu.ops import bottomk_wide
+
+            self._bkw = bottomk_wide
+            self.state = bottomk_wide.empty_state(self.capacity)
+        else:
+            self.state = bottomk.empty_state(self.capacity)
         self._mh = (jnp.uint64(self.max_hash) if self.max_hash is not None
                     else jnp.uint64(0))
-        self._use_kernel = bottomk.auto_use_kernel()
+        self._use_kernel = (not self.wide) and bottomk.auto_use_kernel()
         # composite reader batches skip the device-side prep pass on the
         # kernel path and drop the per-k-mer rc byte from the transfer
         self.wants_composite = self._use_kernel
@@ -224,8 +276,16 @@ class JaxEngine:
         out[:n] = arr
         return jnp.asarray(out)
 
-    def update(self, packed: np.ndarray, rc: np.ndarray) -> None:
-        jnp = self._jnp
+    def update(self, packed, rc: np.ndarray) -> None:
+        if self.wide:
+            plo, phi = packed
+            n = len(plo)
+            for off in range(0, max(n, 1), self.batch_size):
+                sl = slice(off, off + self.batch_size)
+                if len(plo[sl]) == 0:
+                    break
+                self._step_wide(plo[sl], phi[sl], rc[sl])
+            return
         n = len(packed)
         for off in range(0, max(n, 1), self.batch_size):
             chunk_pk = packed[off: off + self.batch_size]
@@ -233,6 +293,29 @@ class JaxEngine:
             if len(chunk_pk) == 0:
                 break
             self._step(chunk_pk, chunk_rc)
+
+    def _step_wide(self, plo, phi, rc):
+        jnp = self._jnp
+        nvalid = jnp.uint32(len(plo))
+        plo_d = self._pad(plo, np.uint64)
+        phi_d = self._pad(phi, np.uint64)
+        rc_d = self._pad(rc, np.uint8)
+        is_scaled = self.params.sketch_type == "scaled"
+        while True:
+            new_state, below = self._bkw.sketch_step(
+                self.state, plo_d, phi_d, rc_d, nvalid, self._mh,
+                k=self.params.k, seed=self.params.hash_seed,
+                has_max_hash=is_scaled)
+            if not is_scaled:
+                self.state = new_state
+                return
+            below = int(below)
+            if below + self.size <= self.capacity:
+                self.state = new_state
+                return
+            new_cap = max(self.capacity * 2, below + self.size)
+            self.state = self._bkw.grow_state(self.state, new_cap)
+            self.capacity = new_cap
 
     def _step(self, chunk_pk, chunk_rc):
         jnp = self._jnp
@@ -265,21 +348,22 @@ class JaxEngine:
             self.state = bk.grow_state(self.state, template)
             self.capacity = new_cap
 
-    def finalize(self):
+    def _host_state(self):
+        if self.wide:
+            h, c, e, plo, phi = self._bkw.state_arrays(self.state)
+            return h, c, e, (plo, phi)
         state, _ = self._bottomk.flush_state(
             self.state, self._mh, k=self.params.k,
             seed=self.params.hash_seed)
         sh, sc, se, spk = state[:4]
-        return _finalize(self.params, np.asarray(sh), np.asarray(sc),
-                         np.asarray(se), np.asarray(spk))
+        return (np.asarray(sh), np.asarray(sc), np.asarray(se),
+                np.asarray(spk))
+
+    def finalize(self):
+        return _finalize(self.params, *self._host_state())
 
     def finalize_arrays(self):
-        state, _ = self._bottomk.flush_state(
-            self.state, self._mh, k=self.params.k,
-            seed=self.params.hash_seed)
-        sh, sc, se, spk = state[:4]
-        return _finalize_arrays(self.params, np.asarray(sh), np.asarray(sc),
-                                np.asarray(se), np.asarray(spk))
+        return _finalize_arrays(self.params, *self._host_state())
 
 
 
@@ -303,7 +387,7 @@ class HybridEngine:
         self._host = NativeEngine(params)
         self._dev: Optional[JaxEngine] = None
         self._seen = 0
-        self.wants_composite = bottomk.auto_use_kernel()
+        self.wants_composite = params.k <= 31 and bottomk.auto_use_kernel()
 
     def _migrate(self) -> None:
         import jax.numpy as jnp
@@ -328,7 +412,12 @@ class HybridEngine:
         self._dev = dev
         self._host = None
 
-    def update(self, packed: np.ndarray, rc: np.ndarray) -> None:
+    def update(self, packed, rc: np.ndarray) -> None:
+        if self.params.k > 31:
+            # wide k stays on the host fold (NativeEngine -> NumPy); the
+            # device migration path is a narrow-k throughput optimization
+            self._host.update(packed, rc)
+            return
         if self._dev is None:
             if packed.dtype == np.uint32:
                 # composite planes: decode for the host fold
@@ -384,12 +473,16 @@ def make_engine(params: SketchParams, backend: str = "auto",
     if backend == "jax":
         return JaxEngine(params, batch_size=batch_size)
     if backend == "mesh":
+        if params.k > 31:
+            raise FinchMessageError(
+                "the mesh backend supports k <= 31; wide k-mers run on the "
+                "numpy/native/jax backends")
         return _mesh_engine(params, batch_size)
     if backend == "auto":
         if _accelerator_present():
             import jax
 
-            if len(jax.devices()) > 1:
+            if len(jax.devices()) > 1 and params.k <= 31:
                 # multi-chip host: shard the stream over the whole mesh
                 return _mesh_engine(params, batch_size)
             return HybridEngine(params, batch_size=batch_size)

@@ -13,6 +13,14 @@ from typing import Optional
 from finch_tpu.errors import FinchMessageError
 
 U32_MAX = 0xFFFFFFFF
+
+
+def _pk_take(pk, idx):
+    """Index a packed-kmer payload: one u64 array for k <= 31, a (lo, hi)
+    word tuple on the wide (k > 31) path."""
+    if isinstance(pk, tuple):
+        return tuple(w[idx] for w in pk)
+    return pk[idx]
 U64_MAX = 0xFFFFFFFFFFFFFFFF
 
 
@@ -101,7 +109,7 @@ class SketchParams:
                 if not self.no_strict and n < self.final_size:
                     raise FinchMessageError(
                         f"{name} had too few kmers ({n}) to sketch")
-                return h[:n], c[:n], e[:n], pk[:n]
+                return h[:n], c[:n], e[:n], _pk_take(pk, slice(None, n))
             return kmers
         if self.sketch_type == "mash":
             kmers = kmers[: self.final_size]
@@ -203,7 +211,7 @@ class FilterParams:
         filter_on = self.filter_on is True
         if filter_on and self.strand_filter > 0.0:
             m = filtering.filter_strands_mask(c, e, self.strand_filter)
-            h, c, e, pk = h[m], c[m], e[m], pk[m]
+            h, c, e, pk = h[m], c[m], e[m], _pk_take(pk, m)
         if filter_on and self.err_filter > 0.0:
             cutoff = filtering.guess_filter_threshold(
                 np.asarray(c), self.err_filter)
@@ -214,7 +222,7 @@ class FilterParams:
                           or self.abun_filter[1] is not None):
             m = filtering.filter_abundance_mask(
                 c, self.abun_filter[0], self.abun_filter[1])
-            h, c, e, pk = h[m], c[m], e[m], pk[m]
+            h, c, e, pk = h[m], c[m], e[m], _pk_take(pk, m)
         return h, c, e, pk
 
     def filter_sketch(self, sketch) -> None:

@@ -37,7 +37,8 @@ _ERRORS = {
     3: "zlib init failed",
     4: "read/decompress error",
     5: "malformed FASTQ record",
-    6: "k must be in 1..=31 for the packed path",
+    6: "k must be in 1..=63 for the packed paths (1..=31 narrow, "
+       "32..=63 wide)",
 }
 
 
@@ -94,6 +95,17 @@ def lib() -> ctypes.CDLL:
                 l.fn_next_batch_c.argtypes = [
                     ctypes.c_void_p, u32, ctypes.c_int, u64,
                     ctypes.c_void_p, ctypes.c_void_p, p(u64), p(ctypes.c_int)]
+                l.fn_next_batch_w.restype = ctypes.c_int
+                l.fn_next_batch_w.argtypes = [
+                    ctypes.c_void_p, u32, ctypes.c_int, u64,
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                    p(u64), p(ctypes.c_int)]
+                l.fn_murmur3_packed_w.argtypes = [
+                    ctypes.c_void_p, ctypes.c_void_p, u64, u32, u64,
+                    ctypes.c_void_p]
+                l.fn_unpack_kmers_w.argtypes = [
+                    ctypes.c_void_p, ctypes.c_void_p, u64, u32,
+                    ctypes.c_void_p]
                 l.fn_popen_path.restype = ctypes.c_void_p
                 l.fn_popen_path.argtypes = [
                     ctypes.c_char_p, u32, ctypes.c_int, u64, ctypes.c_int,
@@ -166,6 +178,28 @@ def unpack_kmers(packed: np.ndarray, k: int) -> np.ndarray:
     return out
 
 
+def murmur3_packed_w(plo: np.ndarray, phi: np.ndarray, k: int,
+                     seed: int = 0) -> np.ndarray:
+    """Hash wide (32 <= k <= 63) two-word packed k-mer codes on the host."""
+    plo = np.ascontiguousarray(plo, dtype=np.uint64)
+    phi = np.ascontiguousarray(phi, dtype=np.uint64)
+    out = np.empty(plo.shape[0], dtype=np.uint64)
+    lib().fn_murmur3_packed_w(
+        plo.ctypes.data, phi.ctypes.data, plo.shape[0], k, seed,
+        out.ctypes.data)
+    return out
+
+
+def unpack_kmers_w(plo: np.ndarray, phi: np.ndarray, k: int) -> np.ndarray:
+    """Decode wide two-word packed codes to (n, k) ASCII bases."""
+    plo = np.ascontiguousarray(plo, dtype=np.uint64)
+    phi = np.ascontiguousarray(phi, dtype=np.uint64)
+    out = np.empty((plo.shape[0], k), dtype=np.uint8)
+    lib().fn_unpack_kmers_w(plo.ctypes.data, phi.ctypes.data, plo.shape[0],
+                            k, out.ctypes.data)
+    return out
+
+
 FORMAT_UNKNOWN, FORMAT_FASTA, FORMAT_FASTQ = 0, 1, 2
 
 
@@ -202,6 +236,28 @@ class KmerReader:
         n = ctypes.c_uint64(0)
         fmt = ctypes.c_int(0)
         while not self._done:
+            if self.k > 31:
+                # wide path (32 <= k <= 63): packed codes as (lo, hi) u64
+                # word pairs; downstream engines accept the tuple form
+                a = np.empty(self.batch_size, dtype=np.uint64)
+                a2 = np.empty(self.batch_size, dtype=np.uint64)
+                b = np.empty(self.batch_size, dtype=np.uint8)
+                r = lib().fn_next_batch_w(
+                    self._h, self.k, 1 if self.canonical else 0,
+                    self.batch_size, a.ctypes.data, a2.ctypes.data,
+                    b.ctypes.data, ctypes.byref(n), ctypes.byref(fmt))
+                if r < 0:
+                    code = lib().fn_error(self._h)
+                    raise NativeError(
+                        _ERRORS.get(code, f"parse error {code}"))
+                self.format = fmt.value
+                if r == 0:
+                    self._done = True
+                if n.value:
+                    yield (a[: n.value], a2[: n.value]), b[: n.value]
+                if r == 0:
+                    break
+                continue
             if self.composite:
                 # ((packed << 1) | is_rc) u32 planes: the fused device
                 # kernel's operand layout, no device-side prep pass

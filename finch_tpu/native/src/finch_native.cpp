@@ -16,6 +16,7 @@
 // Exposed via a C ABI for ctypes (no pybind11 in this environment).
 
 #include <cstdint>
+#include <type_traits>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
@@ -134,6 +135,43 @@ extern "C" void fn_murmur3_packed(const uint64_t* packed, uint64_t n,
   }
 }
 
+// Wide variants (32 <= k <= 63): packed codes span two u64 words — `lo`
+// holds bits [0, 64), `hi` bits [64, 2k) — with base 0 still in the most-
+// significant position so integer comparison == lexicographic byte
+// comparison. The reference hashes the ASCII bytes of any-k canonical
+// k-mers (hashing.rs:9-12, mash.rs:73-79: needletail works on byte slices
+// with no k bound); these paths extend the packed pipeline to the long-kmer
+// range metagenomics uses (k up to 63).
+
+extern "C" void fn_unpack_kmers_w(const uint64_t* plo, const uint64_t* phi,
+                                  uint64_t n, uint32_t k,
+                                  uint8_t* out /* n*k bytes */) {
+  for (uint64_t i = 0; i < n; i++) {
+    unsigned __int128 v = ((unsigned __int128)phi[i] << 64) | plo[i];
+    for (uint32_t j = 0; j < k; j++) {
+      out[i * k + (k - 1 - j)] = BASE_ASCII[(uint32_t)(v & 3)];
+      v >>= 2;
+    }
+  }
+}
+
+extern "C" void fn_murmur3_packed_w(const uint64_t* plo, const uint64_t* phi,
+                                    uint64_t n, uint32_t k, uint64_t seed,
+                                    uint64_t* out) {
+  uint8_t buf[64];
+  uint64_t out2[2];
+  if (k > 63) return;
+  for (uint64_t i = 0; i < n; i++) {
+    unsigned __int128 v = ((unsigned __int128)phi[i] << 64) | plo[i];
+    for (uint32_t j = 0; j < k; j++) {
+      buf[k - 1 - j] = BASE_ASCII[(uint32_t)(v & 3)];
+      v >>= 2;
+    }
+    fn_murmur3_x64_128(buf, k, seed, out2);
+    out[i] = out2[0];
+  }
+}
+
 // ---------------------------------------------------------------------------
 // FASTA/FASTQ(.gz) streaming parser + canonical k-mer extractor.
 //
@@ -236,8 +274,10 @@ struct Parser {
   int format;            // 0 unknown, 1 fasta, 2 fastq
   bool at_line_start;    // for FASTA '>' detection
 
-  // rolling k-mer state (within current record)
+  // rolling k-mer state (within current record); the _hi words carry
+  // bits [64, 2k) on the wide (k > 31) path and stay 0 otherwise
   uint64_t fwd, rev;
+  uint64_t fwd_hi, rev_hi;
   uint32_t vlen;         // current run of valid bases
   // per-record counters
   uint64_t rec_raw;      // raw sequence-region bytes (incl. internal \n)
@@ -250,6 +290,17 @@ struct Parser {
   uint64_t total_kmers;
   uint64_t total_records;
   int err;
+
+  // within-record chunk continuation (parallel pipeline, giant FASTA
+  // records): `prime` raw bytes at the start of the stream re-seed the
+  // rolling window of a record cut mid-sequence — they update fwd/rev/
+  // vlen but are not counted or emitted (the previous chunk owned every
+  // window ending inside them). `ends_mid` marks a chunk whose end is a
+  // mid-record cut: its EOF adds rec_raw WITHOUT the trailing-whitespace
+  // subtraction (the cut's tail whitespace is internal to the record)
+  // and does not complete a record.
+  uint64_t prime;
+  int ends_mid;
 };
 
 static Parser* parser_new() {
@@ -324,6 +375,7 @@ static void end_record(Parser* p) {
   p->rec_raw = 0;
   p->rec_trail_ws = 0;
   p->fwd = p->rev = 0;
+  p->fwd_hi = p->rev_hi = 0;
   p->vlen = 0;
 }
 
@@ -339,16 +391,25 @@ static void end_record(Parser* p) {
 // EMIT=1: composite u32 planes — lo/hi halves of ((packed << 1) | is_rc),
 //         exactly the operand layout of the fused device kernel
 //         (ops/pallas_extract.py), so no device-side prep pass is needed.
+// EMIT=2: wide layout for 32 <= k <= 63 — (packed_lo u64, packed_hi u64,
+//         is_rc u8) triples; rolling state is a 2k-bit __int128 window.
 template <int EMIT>
 static int parse_batch_impl(void* h, uint32_t k, int canonical, uint64_t cap,
                             uint64_t* out_kmers, uint8_t* out_rc,
                             uint32_t* out_lo, uint32_t* out_hi,
+                            uint64_t* out_phi,
                             uint64_t* n_out, int* format_out) {
+  using KT = typename std::conditional<EMIT == 2, unsigned __int128,
+                                       uint64_t>::type;
   Parser* p = (Parser*)h;
   *n_out = 0;
   if (p->err) { return -1; }
-  if (k < 1 || k > 31) { p->err = 6; return -1; }
-  const uint64_t mask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+  if (EMIT == 2) {
+    if (k < 32 || k > 63) { p->err = 6; return -1; }
+  } else {
+    if (k < 1 || k > 31) { p->err = 6; return -1; }
+  }
+  const KT mask = ((KT)1 << (2 * k)) - 1;
   const uint32_t rshift = 2 * (k - 1);
   uint64_t n = 0;
 
@@ -362,10 +423,50 @@ static int parse_batch_impl(void* h, uint32_t k, int canonical, uint64_t cap,
     // predicated index bump). Intra-line whitespace — which normalize
     // REMOVES (the k-mer window spans it) — is rare, so the branchless
     // pass just detects it and redoes the span with exact semantics.
+    if (p->state == P_FASTA_SEQ && p->prime > 0) {
+      // continuation priming: replay the k-1-overlap bytes into the
+      // rolling window without counting or emitting
+      KT pfwd = (KT)p->fwd, prev = (KT)p->rev;
+      if (EMIT == 2) {
+        pfwd |= (KT)p->fwd_hi << 63 << 1;
+        prev |= (KT)p->rev_hi << 63 << 1;
+      }
+      uint32_t pvlen = p->vlen;
+      uint64_t i = p->cur;
+      const uint64_t end = p->fill;
+      uint8_t lastb = 0;
+      while (i < end && p->prime > 0) {
+        const uint8_t b = p->buf[i];
+        const uint8_t cls = BYTE_CLASS[b];
+        if (cls < 4) {
+          pfwd = ((pfwd << 2) | (KT)cls) & mask;
+          prev = (prev >> 2) | ((KT)(3 - cls) << rshift);
+          pvlen++;
+        } else if (cls == 5) {
+          pvlen = 0;
+        }
+        lastb = b;
+        i++;
+        p->prime--;
+      }
+      p->fwd = (uint64_t)pfwd; p->rev = (uint64_t)prev;
+      if (EMIT == 2) {
+        p->fwd_hi = (uint64_t)(pfwd >> 63 >> 1);
+        p->rev_hi = (uint64_t)(prev >> 63 >> 1);
+      }
+      p->vlen = pvlen;
+      p->cur = i;
+      if (i > 0) p->at_line_start = (lastb == '\n');
+      if (p->cur >= p->fill) goto outer_continue;
+    }
     if (p->state == P_FASTA_SEQ || p->state == P_FASTQ_SEQ) {
       uint64_t i = p->cur;
       const uint64_t end = p->fill;
-      uint64_t fwd = p->fwd, rev = p->rev;
+      KT fwd = (KT)p->fwd, rev = (KT)p->rev;
+      if (EMIT == 2) {
+        fwd |= (KT)p->fwd_hi << 63 << 1;  // <<64 in two steps: KT may be u64
+        rev |= (KT)p->rev_hi << 63 << 1;
+      }
       uint32_t vlen = p->vlen;
       uint64_t rec_raw = p->rec_raw, trail = p->rec_trail_ws;
       uint64_t kmers = p->total_kmers;
@@ -375,7 +476,12 @@ static int parse_batch_impl(void* h, uint32_t k, int canonical, uint64_t cap,
       while (i < end && n < cap) {
         if (is_fasta && line_start && p->buf[i] == '>') {
           // record boundary
-          p->fwd = fwd; p->rev = rev; p->vlen = vlen;
+          p->fwd = (uint64_t)fwd; p->rev = (uint64_t)rev;
+          if (EMIT == 2) {
+            p->fwd_hi = (uint64_t)(fwd >> 63 >> 1);
+            p->rev_hi = (uint64_t)(rev >> 63 >> 1);
+          }
+          p->vlen = vlen;
           p->rec_raw = rec_raw; p->rec_trail_ws = trail;
           p->total_kmers = kmers;
           end_record(p);
@@ -393,7 +499,7 @@ static int parse_batch_impl(void* h, uint32_t k, int canonical, uint64_t cap,
             (span_end - i > budget) ? i + budget : span_end;
 
         if (lim > i) {
-          const uint64_t save_fwd = fwd, save_rev = rev;
+          const KT save_fwd = fwd, save_rev = rev;
           const uint32_t save_vlen = vlen;
           const uint64_t save_n = n, save_kmers = kmers;
           uint32_t saw_ws = 0;
@@ -401,17 +507,22 @@ static int parse_batch_impl(void* h, uint32_t k, int canonical, uint64_t cap,
             const uint8_t cls = BYTE_CLASS[p->buf[j]];
             saw_ws |= (cls == 4);
             const uint64_t code = cls & 3;
-            fwd = ((fwd << 2) | code) & mask;
-            rev = (rev >> 2) | ((3 - code) << rshift);
+            fwd = ((fwd << 2) | (KT)code) & mask;
+            rev = (rev >> 2) | ((KT)(3 - code) << rshift);
             vlen = (cls < 4) ? vlen + 1 : 0;
-            const uint64_t canon = fwd < rev ? fwd : rev;
+            const KT canon = fwd < rev ? fwd : rev;
             if (EMIT == 0) {
-              out_kmers[n] = canonical ? canon : fwd;
+              out_kmers[n] = (uint64_t)(canonical ? canon : fwd);
+              out_rc[n] = canonical ? (uint8_t)(fwd >= rev) : 0;
+            } else if (EMIT == 2) {
+              const KT kv = canonical ? canon : fwd;
+              out_kmers[n] = (uint64_t)kv;
+              out_phi[n] = (uint64_t)(kv >> 63 >> 1);
               out_rc[n] = canonical ? (uint8_t)(fwd >= rev) : 0;
             } else {
               const uint64_t comp = canonical
-                  ? ((canon << 1) | (uint64_t)(fwd >= rev))
-                  : (fwd << 1);
+                  ? (((uint64_t)canon << 1) | (uint64_t)(fwd >= rev))
+                  : ((uint64_t)fwd << 1);
               out_lo[n] = (uint32_t)comp;
               out_hi[n] = (uint32_t)(comp >> 32);
             }
@@ -428,17 +539,22 @@ static int parse_batch_impl(void* h, uint32_t k, int canonical, uint64_t cap,
               const uint8_t cls = BYTE_CLASS[p->buf[j]];
               if (cls < 4) {
                 rec_raw++; trail = 0;
-                fwd = ((fwd << 2) | cls) & mask;
-                rev = (rev >> 2) | (uint64_t(3 - cls) << rshift);
+                fwd = ((fwd << 2) | (KT)cls) & mask;
+                rev = (rev >> 2) | ((KT)(3 - cls) << rshift);
                 if (++vlen >= k) {
-                  uint64_t kv, rcv;
+                  KT kv;
+                  uint64_t rcv;
                   if (canonical && fwd >= rev) { kv = rev; rcv = 1; }
                   else                         { kv = fwd; rcv = 0; }
                   if (EMIT == 0) {
-                    out_kmers[n] = kv;
+                    out_kmers[n] = (uint64_t)kv;
+                    out_rc[n] = (uint8_t)rcv;
+                  } else if (EMIT == 2) {
+                    out_kmers[n] = (uint64_t)kv;
+                    out_phi[n] = (uint64_t)(kv >> 63 >> 1);
                     out_rc[n] = (uint8_t)rcv;
                   } else {
-                    const uint64_t comp = (kv << 1) | rcv;
+                    const uint64_t comp = ((uint64_t)kv << 1) | rcv;
                     out_lo[n] = (uint32_t)comp;
                     out_hi[n] = (uint32_t)(comp >> 32);
                   }
@@ -466,7 +582,12 @@ static int parse_batch_impl(void* h, uint32_t k, int canonical, uint64_t cap,
         if (nlp != nullptr && i == span_end) {
           if (!is_fasta) {
             // FASTQ sequence line ends
-            p->fwd = fwd; p->rev = rev; p->vlen = vlen;
+            p->fwd = (uint64_t)fwd; p->rev = (uint64_t)rev;
+          if (EMIT == 2) {
+            p->fwd_hi = (uint64_t)(fwd >> 63 >> 1);
+            p->rev_hi = (uint64_t)(rev >> 63 >> 1);
+          }
+          p->vlen = vlen;
             p->rec_raw = rec_raw; p->rec_trail_ws = trail;
             p->total_kmers = kmers;
             p->fq_seq_len = rec_raw;  // seq line counts no internal ws raw
@@ -481,7 +602,12 @@ static int parse_batch_impl(void* h, uint32_t k, int canonical, uint64_t cap,
           line_start = true;
         }
       }
-      p->fwd = fwd; p->rev = rev; p->vlen = vlen;
+      p->fwd = (uint64_t)fwd; p->rev = (uint64_t)rev;
+      if (EMIT == 2) {
+        p->fwd_hi = (uint64_t)(fwd >> 63 >> 1);
+        p->rev_hi = (uint64_t)(rev >> 63 >> 1);
+      }
+      p->vlen = vlen;
       p->rec_raw = rec_raw; p->rec_trail_ws = trail;
       p->total_kmers = kmers;
       p->at_line_start = line_start;
@@ -511,7 +637,9 @@ static int parse_batch_impl(void* h, uint32_t k, int canonical, uint64_t cap,
             p->state = (p->format == 1) ? P_FASTA_SEQ : P_FASTQ_SEQ;
             p->at_line_start = true;
             p->rec_raw = 0; p->rec_trail_ws = 0;
-            p->fwd = p->rev = 0; p->vlen = 0;
+            p->fwd = p->rev = 0;
+            p->fwd_hi = p->rev_hi = 0;
+            p->vlen = 0;
           }
           break;
         case P_FASTQ_PLUS:
@@ -536,7 +664,14 @@ static int parse_batch_impl(void* h, uint32_t k, int canonical, uint64_t cap,
 
   if (p->err) { return -1; }
   // EOF: close out a trailing record
-  if (p->state == P_FASTA_SEQ) {
+  if (p->state == P_FASTA_SEQ && p->ends_mid) {
+    // mid-record cut: tail whitespace is internal (the aligner cuts only
+    // where sequence continues), so count it raw and complete no record
+    p->total_bases += p->rec_raw;
+    p->rec_raw = 0;
+    p->rec_trail_ws = 0;
+    p->state = P_DONE;
+  } else if (p->state == P_FASTA_SEQ) {
     end_record(p);
     p->state = P_DONE;
   } else if (p->state == P_FASTQ_QUAL && p->fq_qual_seen == p->fq_seq_len &&
@@ -566,7 +701,7 @@ extern "C" int fn_next_batch(void* h, uint32_t k, int canonical, uint64_t cap,
                              uint64_t* out_kmers, uint8_t* out_rc,
                              uint64_t* n_out, int* format_out) {
   return parse_batch_impl<0>(h, k, canonical, cap, out_kmers, out_rc,
-                             nullptr, nullptr, n_out, format_out);
+                             nullptr, nullptr, nullptr, n_out, format_out);
 }
 
 // Composite-plane variant: out_lo/out_hi are u32[cap].
@@ -575,7 +710,16 @@ extern "C" int fn_next_batch_c(void* h, uint32_t k, int canonical,
                                uint32_t* out_hi, uint64_t* n_out,
                                int* format_out) {
   return parse_batch_impl<1>(h, k, canonical, cap, nullptr, nullptr,
-                             out_lo, out_hi, n_out, format_out);
+                             out_lo, out_hi, nullptr, n_out, format_out);
+}
+
+// Wide variant for 32 <= k <= 63: (packed_lo u64, packed_hi u64, is_rc u8).
+extern "C" int fn_next_batch_w(void* h, uint32_t k, int canonical,
+                               uint64_t cap, uint64_t* out_lo64,
+                               uint64_t* out_hi64, uint8_t* out_rc,
+                               uint64_t* n_out, int* format_out) {
+  return parse_batch_impl<2>(h, k, canonical, cap, out_lo64, out_rc,
+                             nullptr, nullptr, out_hi64, n_out, format_out);
 }
 
 extern "C" void fn_totals(void* h, uint64_t* bases, uint64_t* kmers,
@@ -644,6 +788,13 @@ struct PChunk {
   int fmt = 0;
   int err = 0;
   bool parsed = false;  // worker finished this chunk
+  // within-record splitting (giant FASTA records): this chunk continues a
+  // record cut mid-sequence (`cont`, with `prime` overlap bytes prepended
+  // to re-seed the k-mer window) and/or ends at a mid-record cut
+  // (`ends_mid`)
+  int cont = 0;
+  uint64_t prime = 0;
+  int ends_mid = 0;
 };
 
 using ChunkPtr = std::shared_ptr<PChunk>;
@@ -1007,10 +1158,15 @@ static size_t fasta_boundary(const std::string& buf) {
   return 0;
 }
 
-static void p_emit_chunk(Pipeline* p, std::string&& text, uint64_t& cid) {
+static void p_emit_chunk(Pipeline* p, std::string&& text, uint64_t& cid,
+                         int cont = 0, uint64_t prime = 0,
+                         int ends_mid = 0) {
   auto c = std::make_shared<PChunk>();
   c->id = cid++;
   c->text = std::move(text);
+  c->cont = cont;
+  c->prime = prime;
+  c->ends_mid = ends_mid;
   std::unique_lock<std::mutex> lk(p->mu);
   p->cv_space.wait(lk, [&] {
     return p->closing || (int)p->order_q.size() < p->max_live;
@@ -1022,12 +1178,35 @@ static void p_emit_chunk(Pipeline* p, std::string&& text, uint64_t& cid) {
   p->cv_work.notify_one();
 }
 
+// Find a mid-record cut in a boundary-free FASTA buffer: a '\n' at or
+// after `from` whose next byte is sequence (non-ws, not '>'), so
+// whitespace runs and headers never straddle a cut. Returns the position
+// AFTER the newline, or 0 if none.
+static size_t fasta_midcut(const std::string& buf, size_t from) {
+  size_t pos = from;
+  while (pos < buf.size()) {
+    const char* nl = (const char*)memchr(buf.data() + pos, '\n',
+                                         buf.size() - pos);
+    if (!nl) return 0;
+    size_t at = (size_t)(nl - buf.data()) + 1;
+    if (at >= buf.size()) return 0;
+    uint8_t b = (uint8_t)buf[at];
+    if (!is_ws_byte(b) && b != '>') return at;
+    pos = at;
+  }
+  return 0;
+}
+
 static void aligner_main(Pipeline* p) {
   std::string buf;
   AlignState st;
   uint64_t cid = 0;
   bool io_err = false;
   const uint64_t block = 1 << 20;
+  // pending continuation flags for the NEXT emitted chunk (set by a
+  // mid-record cut; the overlap bytes are left at the head of buf)
+  int pend_cont = 0;
+  uint64_t pend_prime = 0;
 
   for (;;) {
     {
@@ -1076,7 +1255,46 @@ static void aligner_main(Pipeline* p) {
         st.scan_pos -= cut;
         st.last_boundary = 0;
       }
-      p_emit_chunk(p, std::move(chunk), cid);
+      p_emit_chunk(p, std::move(chunk), cid, pend_cont, pend_prime, 0);
+      pend_cont = 0;
+      pend_prime = 0;
+      {
+        std::unique_lock<std::mutex> lk(p->mu);
+        if (p->closing) return;
+      }
+    }
+
+    // Within-record splitting: a single giant FASTA record never shows a
+    // "\n>" boundary, so the loop above would buffer it whole and hand it
+    // to ONE worker. Cut it mid-sequence at a newline followed by more
+    // sequence, re-seeding the next chunk's k-mer window with a
+    // (k-1)-valid-base overlap — every window is emitted exactly once and
+    // raw-byte/record totals stay byte-identical to the serial parser
+    // (SURVEY §7.2; exactness notes at Parser::prime/ends_mid).
+    while (st.fmt == 1 && buf.size() >= 2 * p->chunk_target &&
+           fasta_boundary(buf) == 0) {
+      const char* fn = (const char*)memchr(buf.data(), '\n', buf.size());
+      if (!fn) break;
+      size_t from = (size_t)(fn - buf.data()) + 1;
+      if (from < p->chunk_target) from = p->chunk_target;
+      size_t cut = fasta_midcut(buf, from);
+      if (cut == 0) break;
+      // overlap back-scan: k-1 valid bases; an invalid byte stops it (no
+      // k-mer window spans an invalid base)
+      size_t ov = cut;
+      uint32_t nbases = 0;
+      while (ov > 0 && nbases < p->k - 1) {
+        uint8_t cls = BYTE_CLASS[(uint8_t)buf[ov - 1]];
+        if (cls == 5) break;
+        if (cls < 4) nbases++;
+        ov--;
+      }
+      std::string chunk = buf.substr(0, cut);
+      uint64_t prime = cut - ov;
+      buf.erase(0, ov);
+      p_emit_chunk(p, std::move(chunk), cid, pend_cont, pend_prime, 1);
+      pend_cont = 1;
+      pend_prime = prime;
       {
         std::unique_lock<std::mutex> lk(p->mu);
         if (p->closing) return;
@@ -1086,7 +1304,7 @@ static void aligner_main(Pipeline* p) {
 
   if (!buf.empty() || cid == 0) {
     // final chunk (also covers empty input -> parser emits err 1)
-    p_emit_chunk(p, std::move(buf), cid);
+    p_emit_chunk(p, std::move(buf), cid, pend_cont, pend_prime, 0);
   }
   std::unique_lock<std::mutex> lk(p->mu);
   if (io_err && !p->err) p->err = 4;
@@ -1119,6 +1337,15 @@ static void parse_worker_main(Pipeline* p) {
     ps->src.kind = SRC_MEM;
     ps->src.data = (const uint8_t*)c->text.data();
     ps->src.len = c->text.size();
+    if (c->cont) {
+      // chunk continues a record cut mid-sequence: start in the FASTA
+      // sequence state and replay the overlap bytes (uncounted)
+      ps->format = 1;
+      ps->state = P_FASTA_SEQ;
+      ps->at_line_start = false;
+      ps->prime = c->prime;
+    }
+    ps->ends_mid = c->ends_mid;
     // a chunk of B bytes yields at most B k-mers
     uint64_t cap = p->batch_cap < c->text.size() + 1 ? p->batch_cap
                                                      : c->text.size() + 1;
@@ -1713,6 +1940,15 @@ static void sketch_worker_main(SketchPipeline* sp, fold::FoldState* st) {
     ps->src.kind = SRC_MEM;
     ps->src.data = (const uint8_t*)c->text.data();
     ps->src.len = c->text.size();
+    if (c->cont) {
+      // chunk continues a record cut mid-sequence: start in the FASTA
+      // sequence state and replay the overlap bytes (uncounted)
+      ps->format = 1;
+      ps->state = P_FASTA_SEQ;
+      ps->at_line_start = false;
+      ps->prime = c->prime;
+    }
+    ps->ends_mid = c->ends_mid;
     int perr = 0;
     for (;;) {
       uint64_t n = 0;

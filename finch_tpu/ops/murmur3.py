@@ -209,6 +209,40 @@ def packed_pair_to_u32_words(plo, phi, k: int):
     return words
 
 
+def packed2_to_u32_words(plo, phi, k: int):
+    """Little-endian u32 words of the ASCII k-mer string for WIDE packed
+    codes (32 <= k <= 63): plo holds bits [0, 64), phi bits [64, 2k), base
+    0 most-significant. Every code's shift is even, so each code lives
+    wholly in one u32 quarter."""
+    quarters = [
+        plo.astype(jnp.uint64).astype(U32),
+        (plo.astype(jnp.uint64) >> jnp.uint64(32)).astype(U32),
+        phi.astype(jnp.uint64).astype(U32),
+        (phi.astype(jnp.uint64) >> jnp.uint64(32)).astype(U32),
+    ]
+    nwords = 2 * ((k + 7) // 8)
+    words = []
+    for w in range(nwords):
+        acc = jnp.zeros_like(quarters[0])
+        for j in range(w * 4, min(k, w * 4 + 4)):
+            shift = 2 * (k - 1 - j)
+            code = (quarters[shift // 32] >> U32(shift % 32)) & U32(3)
+            byte = (_BASE_LUT >> (code << U32(3))) & U32(0xFF)
+            acc = acc | (byte << U32(8 * (j - w * 4)))
+        words.append(acc)
+    return words
+
+
+@partial(jax.jit, static_argnames=("k", "seed"))
+def hash_packed_kmers_wide(plo, phi, *, k: int, seed: int = 0):
+    """u64 hash lanes for wide two-word packed codes (32 <= k <= 63)."""
+    if not 32 <= k <= 63:
+        raise FinchMessageError("wide murmur path supports k in 32..=63")
+    words = packed2_to_u32_words(plo, phi, k)
+    lo, hi = murmur3_x64_u32_words(words, k, seed)
+    return (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
+
+
 def hash_packed_kmers_pair(packed, *, k: int, seed: int = 0):
     """(lo, hi) u32 hash lane pair for packed canonical k-mer codes."""
     if not 1 <= k <= 31:
