@@ -162,10 +162,22 @@ class Sketch:
     def kmer_list(self) -> List[bytes]:
         """The kmer byte strings, without materializing KmerCount objects
         for lazily-loaded sketches (deferred decoders are invoked once)."""
+        return self.kmer_label_lists()[0]
+
+    def kmer_label_lists(self):
+        """(kmers, labels) without materializing KmerCount objects;
+        labels is None when no entry carries a label (the common case —
+        only .bsk inputs can set them)."""
         soa = getattr(self.hashes, "_soa", None)
         if soa is not None:
             ks = soa[1]
+            labels = None
             if callable(ks):
-                ks, _labels = ks()
-            return list(ks)
-        return [kc.kmer for kc in self.hashes]
+                ks, labels = ks()
+            if labels is not None and all(lb is None for lb in labels):
+                labels = None
+            return list(ks), labels
+        labels = [kc.label for kc in self.hashes]
+        if all(lb is None for lb in labels):
+            labels = None
+        return [kc.kmer for kc in self.hashes], labels

@@ -385,6 +385,20 @@ class MessageBuilder:
         return [StructBuilder(self, target + 1 + i * stride, data_words,
                               ptr_words) for i in range(count)]
 
+    def init_composite_region(self, ptr_ofs: int, count: int,
+                              data_words: int, ptr_words: int) -> int:
+        """Allocate a composite list and return the word offset of its
+        first element (past the tag word) for bulk numpy fills — the
+        layout is identical to new_composite_list, without building
+        per-element StructBuilder objects."""
+        stride = data_words + ptr_words
+        total = count * stride
+        target = self.alloc(1 + total)
+        self.write_list_ptr(ptr_ofs, target, 7, total)
+        self._put_word(target, ((count & ((1 << 30) - 1)) << 2)
+                       | (data_words << 32) | (ptr_words << 48))
+        return target + 1
+
     def write_bytes_list(self, ptr_ofs: int, data: bytes,
                          nul_terminate: bool) -> None:
         n = len(data) + (1 if nul_terminate else 0)

@@ -426,3 +426,95 @@ def test_capnp_reader_fuzz_malformed():
             buf = bytearray(base)
             buf[wofs:wofs + 8] = _struct.pack("<Q", evil)
             try_read(bytes(buf))
+
+
+def test_bsk_bulk_writer_bytes_match_per_element(sketch10, monkeypatch):
+    """The vectorized KmerCount list writer must emit bytes identical to
+    the per-element StructBuilder loop on every shape it accepts, and
+    decline the shapes it cannot (labels, ragged kmers)."""
+    import finch_tpu.serialization.finch_bsk as fb
+
+    def slow_write(sketches):
+        monkeypatch.setattr(fb, "_write_kmercounts_bulk",
+                            lambda msg, b, s: False)
+        try:
+            return fb.write_finch_file(sketches)
+        finally:
+            monkeypatch.undo()
+
+    # real sketcher output (21-byte kmers), incl. a second sketch so the
+    # interleaved allocation order is covered
+    empty = Sketch(name="e", seq_length=0, num_valid_kmers=0, comment="",
+                   hashes=[], filter_params=FilterParams(),
+                   sketch_params=sketch10.sketch_params)
+    fast = write_finch_file([sketch10, empty, sketch10])
+    slow = slow_write([sketch10, empty, sketch10])
+    assert fast == slow
+    assert fb._write_kmercounts_bulk.__module__  # bulk path exists
+
+    # zero-length kmers (e.g. synthetic DB sketches)
+    s0 = Sketch(name="z", seq_length=1, num_valid_kmers=2, comment="",
+                hashes=[KmerCount(hash=9, kmer=b"", count=1, extra_count=0),
+                        KmerCount(hash=11, kmer=b"", count=4,
+                                  extra_count=2)],
+                filter_params=FilterParams(),
+                sketch_params=sketch10.sketch_params)
+    assert write_finch_file([s0]) == slow_write([s0])
+
+    # count saturation parity past u32::MAX
+    sbig = Sketch(name="b", seq_length=1, num_valid_kmers=1, comment="",
+                  hashes=[KmerCount(hash=3, kmer=b"ACGTACGT",
+                                    count=(1 << 33), extra_count=5)],
+                  filter_params=FilterParams(),
+                  sketch_params=sketch10.sketch_params)
+    assert write_finch_file([sbig]) == slow_write([sbig])
+
+    # label -> the general path must be taken (and round-trip the label)
+    slab = Sketch(name="l", seq_length=1, num_valid_kmers=1, comment="",
+                  hashes=[KmerCount(hash=3, kmer=b"AA", count=1,
+                                    extra_count=0, label=b"lb")],
+                  filter_params=FilterParams(),
+                  sketch_params=sketch10.sketch_params)
+    assert read_finch_file(write_finch_file([slab]))[0].hashes[0].label == b"lb"
+
+    # ragged kmers -> general path, still round-trips
+    srag = Sketch(name="r", seq_length=1, num_valid_kmers=2, comment="",
+                  hashes=[KmerCount(hash=3, kmer=b"A", count=1,
+                                    extra_count=0),
+                          KmerCount(hash=5, kmer=b"ACG", count=1,
+                                    extra_count=0)],
+                  filter_params=FilterParams(),
+                  sketch_params=sketch10.sketch_params)
+    back = read_finch_file(write_finch_file([srag]))[0]
+    assert [kc.kmer for kc in back.hashes] == [b"A", b"ACG"]
+
+
+def test_bsk_bulk_writer_lazy_roundtrip(tmp_path):
+    """A lazily-loaded .bsk DB re-written through the bulk path (no
+    KmerCount materialization) round-trips bit-identically."""
+    import numpy as np
+
+    from finch_tpu.serialization import open_sketch_file
+
+    rng = np.random.default_rng(8)
+    sketches = []
+    for i in range(5):
+        n = int(rng.integers(3, 40))
+        hs = np.sort(rng.choice(1 << 62, size=n, replace=False)
+                     .astype(np.uint64))
+        sketches.append(Sketch(
+            name=f"s{i}", seq_length=100, num_valid_kmers=80, comment="",
+            hashes=[KmerCount(hash=int(h), kmer=b"ACGTACGTACG",
+                              count=int(rng.integers(1, 9)),
+                              extra_count=int(rng.integers(0, 4)))
+                    for h in hs],
+            filter_params=FilterParams(),
+            sketch_params=SketchParams.mash(kmers_to_sketch=64,
+                                            final_size=64)))
+    data = write_finch_file(sketches)
+    p = tmp_path / "db.bsk"
+    p.write_bytes(data)
+    loaded = open_sketch_file(str(p))
+    # nothing has forced the lazy containers
+    assert all(getattr(s.hashes, "_soa", None) is not None for s in loaded)
+    assert write_finch_file(loaded) == data
