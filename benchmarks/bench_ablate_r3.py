@@ -90,27 +90,46 @@ def main() -> None:
     def run_a(acc, start, nsteps, x_lo, x_hi):
         def body(i, acc):
             pl, ph = perturb(i.astype(jnp.uint32), x_lo, x_hi)
-            cand, ovf = pe.extract_candidates(pl, ph, th_hi, th_lo,
-                                              k=k, seed=0)
-            return acc ^ cand[:128] ^ jnp.uint64(ovf)
+            cand, slab, _khl, _khh, covf, aovf = pe.extract_candidates(
+                pl, ph, th_hi, th_lo, k=k, seed=0)
+            return (acc ^ cand[:128] ^ slab[:128]
+                    ^ jnp.uint64(covf) ^ jnp.uint64(aovf))
         return jax.lax.fori_loop(start, start + nsteps, body, acc)
 
     acc0 = jnp.zeros(128, dtype=jnp.uint64)
     t_a = timed(run_a, acc0, (plo, phi))
 
-    # ---- B: kernel + stage2-style sort of the slab ----
+    # ---- B: kernel + stage2-style sort of the compacted accumulator ----
     @jax.jit
     def run_b(acc, start, nsteps, x_lo, x_hi):
         def body(i, acc):
             pl, ph = perturb(i.astype(jnp.uint32), x_lo, x_hi)
-            cand, ovf = pe.extract_candidates(pl, ph, th_hi, th_lo,
-                                              k=k, seed=0)
+            cand, slab, _khl, _khh, covf, aovf = pe.extract_candidates(
+                pl, ph, th_hi, th_lo, k=k, seed=0)
             w2 = cand.shape[0] // 256
             s2 = jax.lax.sort(cand.reshape(256, w2), dimension=0)
-            return acc ^ s2[0, :128] ^ jnp.uint64(ovf)
+            return acc ^ s2[0, :128] ^ jnp.uint64(covf)
         return jax.lax.fori_loop(start, start + nsteps, body, acc)
 
     t_b = timed(run_b, acc0, (plo, phi))
+
+    # ---- B2: kernel + tier-B aggregation on the per-chunk slab ----
+    from finch_tpu.ops.bottomk import (STAGE2_H, _aggregate_runs,
+                                       _spill_weight_shift)
+
+    @jax.jit
+    def run_b2(acc, start, nsteps, x_lo, x_hi):
+        def body(i, acc):
+            pl, ph = perturb(i.astype(jnp.uint32), x_lo, x_hi)
+            cand, slab, _khl, _khh, covf, aovf = pe.extract_candidates(
+                pl, ph, th_hi, th_lo, k=k, seed=0)
+            w2 = slab.shape[0] // STAGE2_H
+            s2 = jax.lax.sort(slab.reshape(STAGE2_H, w2), dimension=0)
+            s2 = _aggregate_runs(s2, _spill_weight_shift(k))
+            return acc ^ s2[0, :128] ^ jnp.uint64(covf)
+        return jax.lax.fori_loop(start, start + nsteps, body, acc)
+
+    t_b2 = timed(run_b2, acc0, (plo, phi))
 
     # ---- C: full sketch_step ----
     @jax.jit
@@ -136,10 +155,12 @@ def main() -> None:
     out = {
         "kernel_ms": round(t_a * 1e3, 3),
         "kernel_plus_sort_ms": round(t_b * 1e3, 3),
+        "kernel_plus_agg_ms": round(t_b2 * 1e3, 3),
         "full_step_ms": round(t_c * 1e3, 3),
         "dup64_step_ms": round(t_d * 1e3, 3),
         "post_kernel_ms": round((t_c - t_a) * 1e3, 3),
         "kmers_per_s": round(batch / t_c, 1),
+        "dup64_kmers_per_s": round(batch / t_d, 1),
     }
     print(json.dumps(out))
 

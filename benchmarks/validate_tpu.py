@@ -41,6 +41,25 @@ def main() -> None:
         print(f"capacity {cap}: device == oracle over "
               f"{4 * (1 << 21)} kmers (kernel={jx._use_kernel})")
 
+    # 64x-duplicate-burst stream: overflows the kernel's cross-chunk
+    # accumulator so the tier-B slab path (+ duplicate-run aggregation +
+    # weighted spill decode) runs for real; counts must stay exact
+    params = SketchParams.mash(kmers_to_sketch=200000, final_size=1000,
+                               no_strict=True)
+    jx = JaxEngine(params, batch_size=1 << 21)
+    npe = NumpyEngine(params)
+    for i in range(4):
+        n = 1 << 21
+        base = rng.integers(0, 4 ** 21, size=n // 64, dtype=np.uint64)
+        pk = np.tile(base, 64)
+        rc = np.tile(rng.integers(0, 2, size=n // 64, dtype=np.uint8), 64)
+        jx.update(pk, rc)
+        npe.update(pk, rc)
+    a = [(k.hash, k.count, k.extra_count) for k in jx.finalize()]
+    b = [(k.hash, k.count, k.extra_count) for k in npe.finalize()]
+    assert a == b, "DIVERGENCE: dup64 tier-B path"
+    print(f"dup64 burst: device == oracle ({len(a)} entries, counts exact)")
+
     # scaled scheme on the kernel path (incl. the grow-and-redo rail)
     sparams = SketchParams.scaled(kmers_to_sketch=256, scale=1e-4)
     js = JaxEngine(sparams, batch_size=1 << 21)

@@ -184,15 +184,71 @@ def _merge_candidates(state4, ch, cc, ce, cpk, max_hash):
     return new_state, below
 
 
+def _spill_weight_shift(k: int) -> int:
+    """Bit position of the run-weight field in spill entries.
+
+    A spill entry is (weight << shift) | (composite + 1): the composite
+    encoding occupies 2k+2 bits, so the top 64-(2k+2) bits are free to
+    carry a duplicate-run weight (stored as run_length - 1, so plain
+    entries from every non-aggregating path decode as weight 1). Returns
+    0 when k leaves no weight bits (the decode is then a no-op)."""
+    s = 2 * k + 2
+    return s if s < 64 else 0
+
+
 def _flush(state4, spill, max_hash, *, k: int, seed: int):
-    """Rehash spilled composite payloads and merge them into the state."""
+    """Rehash spilled composite payloads and merge them into the state.
+
+    Entries may carry a duplicate-run weight in their top bits (tier-B
+    aggregation); count = weight + 1 keeps every path exact."""
     ok = spill != U64_MAX
-    cpk_raw = (spill - jnp.uint64(1)) >> jnp.uint64(1)
+    s = _spill_weight_shift(k)
+    if s:
+        comp = spill & jnp.uint64((1 << s) - 1)
+        w = spill >> jnp.uint64(s)
+    else:
+        comp = spill
+        w = jnp.zeros_like(spill)
+    cpk_raw = (comp - jnp.uint64(1)) >> jnp.uint64(1)
     ch = jnp.where(ok, hash_packed_kmers(cpk_raw, k=k, seed=seed), U64_MAX)
-    cc = ok.astype(jnp.uint64)
-    ce = ((spill - jnp.uint64(1)) & jnp.uint64(1)) * cc
+    cc = jnp.where(ok, w + jnp.uint64(1), jnp.uint64(0))
+    ce = ((comp - jnp.uint64(1)) & jnp.uint64(1)) * cc
     cpk = jnp.where(ok, cpk_raw, U64_MAX)
     return _merge_candidates(state4, ch, cc, ce, cpk, max_hash)
+
+
+def _aggregate_runs(s2, shift: int):
+    """Collapse duplicate composites in a column-sorted slab into weighted
+    run heads (tier-B duplicate-burst pre-aggregation).
+
+    After the stage-2 axis-0 sort, copies of one value sit at nearly the
+    same row of different columns (rank ~ value quantile, Poisson-narrow);
+    a last-axis row sort therefore colocates them into in-row runs. Each
+    run is replaced by its head entry carrying (run_length - 1) in the
+    top weight bits; non-heads become U64_MAX. The final axis-0 sort
+    floats real entries back to the top rows for the paging loop.
+
+    Exact for any input: every real entry belongs to exactly one in-row
+    run, runs never span rows/pages (those split into separately-weighted
+    heads the flush merge re-sums), and the caller gates on the weight
+    field being wide enough for the worst-case run (a full row)."""
+    H, w = s2.shape
+    s = jax.lax.sort(s2, dimension=1)
+    neq = s[:, 1:] != s[:, :-1]
+    head = jnp.concatenate([jnp.ones((H, 1), bool), neq], 1)
+    endm = jnp.concatenate([neq, jnp.ones((H, 1), bool)], 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (H, w), 1)
+    big = jnp.int32(2 ** 31 - 1)
+    e = jnp.where(endm, col, big)
+    d = 1
+    while d < w:  # suffix-min: nearest run end at or after each column
+        e = jnp.minimum(e, jnp.concatenate(
+            [e[:, d:], jnp.full((H, d), big, jnp.int32)], 1))
+        d <<= 1
+    run = (e - col).astype(jnp.uint64)  # run_length - 1 at run heads
+    keep = head & (s != U64_MAX)
+    out = jnp.where(keep, s + (run << jnp.uint64(shift)), U64_MAX)
+    return jax.lax.sort(out, dimension=0)
 
 
 def _append_page(carry, cand, mh_arg, *, k: int, seed: int):
@@ -228,10 +284,12 @@ def _append_page(carry, cand, mh_arg, *, k: int, seed: int):
 
 
 @partial(jax.jit, static_argnames=("k", "seed", "has_max_hash",
-                                   "use_kernel", "composite"))
+                                   "use_kernel", "composite",
+                                   "xla_aggregate"))
 def sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
                 *, k: int, seed: int, has_max_hash: bool,
-                use_kernel: bool = False, composite: bool = False):
+                use_kernel: bool = False, composite: bool = False,
+                xla_aggregate: bool = False):
     """Fold one batch of packed canonical k-mers into the sketch state.
 
     Exact for any input (cold state, survivor bursts, duplicates) via
@@ -285,9 +343,13 @@ def sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
              | batch_rc.astype(jnp.uint64)) + jnp.uint64(1),
             U64_MAX)
 
-    def stage2_pages(carry, flat_cands):
+    def stage2_pages(carry, flat_cands, aggregate=False):
         """Re-compact candidates through a (STAGE2_H, w2) axis-0 sort and
-        append row pages while the next page's leading row has survivors."""
+        append row pages while the next page's leading row has survivors.
+
+        aggregate=True (tier B, duplicate-heavy batches) additionally
+        collapses duplicate runs into weighted heads between the sort and
+        the paging, when k leaves enough weight bits for a full-row run."""
         w2 = flat_cands.shape[0] // STAGE2_H
         # r2 must divide STAGE2_H or the tail rows would never be paged;
         # STAGE2_H is a power of two, so take the largest power of two
@@ -297,6 +359,10 @@ def sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
             r2 *= 2
         n2 = STAGE2_H // r2
         s2 = jax.lax.sort(flat_cands.reshape(STAGE2_H, w2), dimension=0)
+        shift = _spill_weight_shift(k)
+        if (aggregate and shift
+                and 64 - shift >= max(1, (w2 - 1).bit_length())):
+            s2 = _aggregate_runs(s2, shift)
 
         # s2 is loop-invariant: close over it instead of carrying it (a
         # while carry is double-buffered and copied every iteration)
@@ -317,8 +383,9 @@ def sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
             iw_cond, iw_body, (jnp.int32(0), carry))
         return carry
 
-    def run_two_stage(carry):
-        comp = xla_comp()
+    def run_two_stage(carry, comp=None, aggregate=False):
+        if comp is None:
+            comp = xla_comp()
         w1 = b // STAGE1_H
         s1 = jax.lax.sort(comp.reshape(STAGE1_H, w1), dimension=0)
         n1 = STAGE1_H // STAGE1_ROWS
@@ -327,7 +394,7 @@ def sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
             carry, p1 = carry_p1
             block = jax.lax.dynamic_slice(
                 s1, (p1 * STAGE1_ROWS, jnp.int32(0)), (STAGE1_ROWS, w1))
-            carry = stage2_pages(carry, block.ravel())
+            carry = stage2_pages(carry, block.ravel(), aggregate=aggregate)
             return carry, p1 + jnp.int32(1)
 
         def outer_cond(carry_p1):
@@ -383,18 +450,53 @@ def sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
                 U64_MAX)
             vlo = v.astype(jnp.uint32)
             vhi = (v >> jnp.uint64(32)).astype(jnp.uint32)
-        cand, ovf = pallas_extract.extract_candidates(
-            vlo,
-            vhi,
-            (thresh >> jnp.uint64(32)).astype(jnp.uint32),
-            thresh.astype(jnp.uint32),
-            k=k, seed=seed)
-        (state4, spill, fill, below) = jax.lax.cond(
-            ovf == 0,
-            lambda c: stage2_pages(c, cand),
-            run_two_stage, carry0)
+        cand, slab, kh_lo, kh_hi, covf, aovf = \
+            pallas_extract.extract_candidates(
+                vlo,
+                vhi,
+                (thresh >> jnp.uint64(32)).astype(jnp.uint32),
+                thresh.astype(jnp.uint32),
+                k=k, seed=seed)
+
+        def run_two_stage_kh(c):
+            # tier C reuses the kernel's hash planes: mask + select +
+            # two-stage sort, no XLA re-hash (the murmur dominates)
+            h = ((kh_hi.astype(jnp.uint64) << jnp.uint64(32))
+                 | kh_lo.astype(jnp.uint64))
+            keep = valid & (h <= thresh)
+            comp = jnp.where(
+                keep,
+                ((vhi.astype(jnp.uint64) << jnp.uint64(32))
+                 | vlo.astype(jnp.uint64)) + jnp.uint64(1),
+                U64_MAX)
+            return run_two_stage(c, comp=comp, aggregate=True)
+
+        # tier A: the in-kernel accumulator held every survivor — page its
+        #   b/64-entry output (the common path).
+        # tier B: the accumulator overflowed (duplicate-heavy stream) but
+        #   no chunk column exceeded ROWS_OUT — page the per-chunk slab
+        #   with duplicate-run aggregation.
+        # tier C: a chunk column overflowed too (cold state / extreme
+        #   density) — two-stage XLA selection over the kernel's hash
+        #   planes, with aggregation.
+        # One flat lax.switch, not nested conds: conditional outputs are
+        # copied by buffer assignment, and the carry (state + spill) is
+        # ~15 MB — one branch point halves that per-step copy traffic.
+        tier = jnp.where(
+            aovf == 0, jnp.int32(0),
+            jnp.where(covf == 0, jnp.int32(1), jnp.int32(2)))
+        (state4, spill, fill, below) = jax.lax.switch(
+            tier,
+            (lambda c: stage2_pages(c, cand),
+             lambda c: stage2_pages(c, slab, aggregate=True),
+             run_two_stage_kh),
+            carry0)
     elif two_stage:
-        (state4, spill, fill, below) = run_two_stage(carry0)
+        # xla_aggregate turns duplicate-run aggregation on for the pure-
+        # XLA path too (CPU test coverage of the weighted machinery; the
+        # kernel tiers use it unconditionally on TPU)
+        (state4, spill, fill, below) = run_two_stage(
+            carry0, aggregate=xla_aggregate)
     else:
         (state4, spill, fill, below) = run_small(carry0)
 

@@ -1,7 +1,8 @@
-"""Fused Pallas kernel: murmur3 + threshold prefilter + survivor selection.
+"""Fused Pallas kernel: murmur3 + prefilter + in-kernel survivor compaction.
 
-Replaces the XLA pipeline's (hash pass + stage-1 transposed sort) for the
-warm path. Per 64k-lane chunk staged through VMEM, the kernel:
+Replaces the XLA pipeline's (hash pass + stage-1 transposed sort + stage-2
+survivor sort) for the warm path. Per 64k-lane chunk staged through VMEM,
+the kernel:
 
   1. decodes v = (packed << 1 | is_rc) lanes from (lo, hi) u32 pairs,
   2. hashes every k-mer with the pair-arithmetic MurmurHash3_x64_128
@@ -9,16 +10,26 @@ warm path. Per 64k-lane chunk staged through VMEM, the kernel:
   3. masks lanes whose hash exceeds the admission threshold,
   4. extracts the 8 smallest composites of each 32-lane column with 8
      min-extract rounds (a 5-bit row index is appended to the composite so
-     duplicate k-mers stay distinct lanes and counts remain exact),
-  5. writes the extracted composites (+1, spill encoding; u64::MAX when
-     empty) and an overflow flag that is set if any column still holds a
-     survivor after 8 extractions.
+     duplicate k-mers stay distinct lanes and counts remain exact); the
+     rounds emit an ascending 8-row column,
+  5. merges those 8 rows into a column-sorted (ACC_H, CHUNK_W) accumulator
+     carried across chunks (one Batcher half-cleaner + a 5-stage bitonic
+     merge network — ~90 compare-exchanges on (1, CHUNK_W) row vectors,
+     ~35 u32 ops/lane, small next to the ~400-op hash),
+  6. after the last chunk, writes the accumulator (+1 spill encoding;
+     u64::MAX when empty) and an overflow flag that is set if any column
+     held more than ROWS_OUT survivors in one chunk OR the accumulator
+     half-cleaner ever dropped a real survivor.
 
-On overflow (cold state or extreme survivor density) the caller falls back
-to the exact XLA sort path, so the kernel never has to handle unbounded
-densities. Selection beats an in-VMEM sort here: 8 rounds of a 5-step
-pair-min tree is ~80 u32 ops/lane versus ~90 for a 32-deep network, is far
-simpler, and the hash (~400 ops/lane) dominates either way.
+The accumulator is the in-kernel stage-2 compaction: the kernel's output is
+b/(COLH*ACC_H/ROWS_OUT... precisely ACC_H*CHUNK_W entries per call (b/64 at
+the 4M batch) instead of b/4, so the caller's XLA survivor sort disappears
+and the paging loop runs 1-2 trips. On overflow (cold state or extreme
+survivor density) the caller falls back to the exact XLA sort path, so the
+kernel never has to handle unbounded densities. Selection beats an in-VMEM
+sort here: 8 rounds of a 5-step pair-min tree is ~80 u32 ops/lane versus
+~90 for a 32-deep network, is far simpler, and the hash dominates either
+way.
 
 The kernel is gridless (single invocation, internal DMA chunk loop): this
 endpoint's Mosaic compiler rejects grid-mode pallas_call ("failed to
@@ -66,6 +77,13 @@ COLH = int(os.environ.get("FINCH_TPU_KERNEL_COLH", "32"))
 ROWS_OUT = 8
 ROW_BITS = (COLH - 1).bit_length()
 CHUNK_W = 2048  # lanes per chunk = COLH * CHUNK_W
+# cross-chunk accumulator height: each CHUNK_W-lane column keeps the ACC_H
+# smallest survivors across ALL chunks of the batch; a real survivor pushed
+# out of the accumulator trips the overflow flag (-> exact XLA fallback).
+# At steady state survivor density is ~capacity/total-seen, so a column's
+# Poisson mean is far below ACC_H after a handful of batches. Must be a
+# power of two >= 2*ROWS_OUT and a multiple of 8 (output tiling).
+ACC_H = int(os.environ.get("FINCH_TPU_KERNEL_ACCH", "32"))
 
 
 def _pair_min_rows(ehi, elo):
@@ -80,13 +98,19 @@ def _pair_min_rows(ehi, elo):
     return ehi, elo
 
 
+def _lex_lt(ah, al, bh, bl):
+    return (ah < bh) | ((ah == bh) & (al <= bl))
+
+
 def _extract_kernel(k: int, seed: int, nchunks: int,
                     thi_ref, tlo_ref, vlo_hbm, vhi_hbm,
-                    out_lo_hbm, out_hi_hbm, ovf_ref):
+                    out_lo_hbm, out_hi_hbm, slab_lo_hbm, slab_hi_hbm,
+                    hash_lo_hbm, hash_hi_hbm, ovf_ref):
     th = thi_ref[0, 0]
     tl = tlo_ref[0, 0]
 
-    def body(slo, shi, olo, ohi, sem_in, sem_o0, sem_o1):
+    def body(slo, shi, nlo, nhi, alo, ahi, ghlo, ghhi,
+             sem_in, sem_o0, sem_o1, sem_h0, sem_h1):
         def start_in(ci, slot):
             off = ci * jnp.int32(COLH)
             pltpu.make_async_copy(
@@ -102,8 +126,11 @@ def _extract_kernel(k: int, seed: int, nchunks: int,
                 vhi_hbm.at[pl.ds(off, COLH), :], shi.at[slot], sem_in.at[slot, jnp.int32(1)]).wait()
 
         start_in(jnp.int32(0), jnp.int32(0))
+        alo[...] = jnp.full((ACC_H, CHUNK_W), U32_MAX, jnp.uint32)
+        ahi[...] = jnp.full((ACC_H, CHUNK_W), U32_MAX, jnp.uint32)
 
-        def chunk(ci, ovf):
+        def chunk(ci, carry):
+            covf, aovf = carry
             slot = jax.lax.rem(ci, jnp.int32(2))
             nslot = jax.lax.rem(ci + jnp.int32(1), jnp.int32(2))
             wait_in(ci, slot)
@@ -121,6 +148,22 @@ def _extract_kernel(k: int, seed: int, nchunks: int,
             hlo, hhi = murmur3_x64_u32_words(words, k, seed)
             keep = ((hhi < th) | ((hhi == th) & (hlo <= tl))) & (~is_pad)
 
+            # full hash planes out: tier C (both selection tiers
+            # overflowed) re-selects in XLA without re-hashing — the
+            # murmur is ~80% of this kernel's arithmetic. Two VMEM stores
+            # per lane + an overlapped 256 KB DMA per chunk.
+            ghlo[...] = hlo
+            ghhi[...] = hhi
+            ho = ci * jnp.int32(COLH)
+            ch0 = pltpu.make_async_copy(
+                ghlo, hash_lo_hbm.at[pl.ds(ho, COLH), :], sem_h0)
+            ch1 = pltpu.make_async_copy(
+                ghhi, hash_hi_hbm.at[pl.ds(ho, COLH), :], sem_h1)
+            ch0.start()
+            ch1.start()
+            ch0.wait()
+            ch1.wait()
+
             row = jax.lax.broadcasted_iota(jnp.uint32, (COLH, CHUNK_W), 0)
             rb = U32(ROW_BITS)
             rbc = U32(32 - ROW_BITS)
@@ -129,6 +172,10 @@ def _extract_kernel(k: int, seed: int, nchunks: int,
             elo = jnp.where(keep, elo, U32_MAX)
             ehi = jnp.where(keep, ehi, U32_MAX)
 
+            # 8 min-extract rounds, written in REVERSED row order so the
+            # scratch slab reads back descending — exactly the orientation
+            # the Batcher half-cleaner needs against the ascending
+            # accumulator tail.
             for r in range(ROWS_OUT):
                 mhi, mlo = _pair_min_rows(ehi, elo)
                 sent = (mhi == U32_MAX) & (mlo == U32_MAX)
@@ -137,8 +184,8 @@ def _extract_kernel(k: int, seed: int, nchunks: int,
                 comp_lo = clo + U32(1)
                 carry = (comp_lo == U32(0)).astype(jnp.uint32)
                 comp_hi = chi + carry
-                olo[r, :] = jnp.where(sent, U32_MAX, comp_lo)[0]
-                ohi[r, :] = jnp.where(sent, U32_MAX, comp_hi)[0]
+                nlo[ROWS_OUT - 1 - r, :] = jnp.where(sent, U32_MAX, comp_lo)[0]
+                nhi[ROWS_OUT - 1 - r, :] = jnp.where(sent, U32_MAX, comp_hi)[0]
                 eq = (elo == mlo) & (ehi == mhi)
                 elo = jnp.where(eq, U32_MAX, elo)
                 ehi = jnp.where(eq, U32_MAX, ehi)
@@ -148,32 +195,119 @@ def _extract_kernel(k: int, seed: int, nchunks: int,
             # int32 max reduction instead
             remain = (~((m9h == U32_MAX) & (m9l == U32_MAX))).astype(
                 jnp.int32)
-            ovf = ovf | jnp.max(remain)
+            covf = covf | jnp.max(remain)
 
-            oo = ci * jnp.int32(ROWS_OUT)
-            cout0 = pltpu.make_async_copy(
-                olo, out_lo_hbm.at[pl.ds(oo, ROWS_OUT), :], sem_o0)
-            cout1 = pltpu.make_async_copy(
-                ohi, out_hi_hbm.at[pl.ds(oo, ROWS_OUT), :], sem_o1)
-            cout0.start()
-            cout1.start()
-            cout0.wait()
-            cout1.wait()
-            return ovf
+            # per-chunk slab out (tier B): exact whenever no column had
+            # more than ROWS_OUT survivors in a chunk, even when the
+            # cross-chunk accumulator overflows (duplicate-heavy streams).
+            # The waits are immediate — the 64 KB copies are trivially
+            # cheap next to the hash, and nlo/nhi are reused next chunk.
+            so = ci * jnp.int32(ROWS_OUT)
+            cs0 = pltpu.make_async_copy(
+                nlo, slab_lo_hbm.at[pl.ds(so, ROWS_OUT), :], sem_o0)
+            cs1 = pltpu.make_async_copy(
+                nhi, slab_hi_hbm.at[pl.ds(so, ROWS_OUT), :], sem_o1)
+            cs0.start()
+            cs1.start()
+            cs0.wait()
+            cs1.wait()
 
-        ovf = jax.lax.fori_loop(jnp.int32(0), jnp.int32(nchunks), chunk,
-                                jnp.int32(0))
-        ovf_ref[0, 0] = ovf
+            # ---- cross-chunk accumulator merge (in-kernel compaction) ----
+            # Value-resident: read the accumulator ONCE, run the half-
+            # cleaner + the full bitonic merge network on values (ref
+            # round-trips per stage measurably slow the kernel), write
+            # back once.
+            # Half-cleaner: acc tail rows (ascending) vs the descending new
+            # slab. Mins stay (the ACC_H smallest of acc ∪ new as a bitonic
+            # column sequence); any real value in the maxes means a survivor
+            # fell out of the accumulator -> overflow.
+            bl, bh = nlo[...], nhi[...]
+            x_l = alo[...]
+            x_h = ahi[...]
+            tl_lo = x_l[ACC_H - ROWS_OUT:, :]
+            tl_hi = x_h[ACC_H - ROWS_OUT:, :]
+            lt = _lex_lt(tl_hi, tl_lo, bh, bl)
+            hi_drop_h = jnp.where(lt, bh, tl_hi)
+            hi_drop_l = jnp.where(lt, bl, tl_lo)
+            dropped = (~((hi_drop_h == U32_MAX)
+                         & (hi_drop_l == U32_MAX))).astype(jnp.int32)
+            aovf = aovf | jnp.max(dropped)
+            x_l = jnp.concatenate(
+                [x_l[:ACC_H - ROWS_OUT, :], jnp.where(lt, tl_lo, bl)], 0)
+            x_h = jnp.concatenate(
+                [x_h[:ACC_H - ROWS_OUT, :], jnp.where(lt, tl_hi, bh)], 0)
+
+            # Bitonic merge network over the ACC_H bitonic column sequence:
+            # group-aligned stages as slab ops, sub-group stages via a
+            # sublane-roll partner exchange inside each 8-row tile.
+            d = ACC_H // 2
+            while d >= 8:
+                pl_, ph_ = [], []
+                for base in range(0, ACC_H, 2 * d):
+                    a_l = x_l[base:base + d, :]
+                    a_h = x_h[base:base + d, :]
+                    b_l = x_l[base + d:base + 2 * d, :]
+                    b_h = x_h[base + d:base + 2 * d, :]
+                    lt = _lex_lt(a_h, a_l, b_h, b_l)
+                    pl_ += [jnp.where(lt, a_l, b_l), jnp.where(lt, b_l, a_l)]
+                    ph_ += [jnp.where(lt, a_h, b_h), jnp.where(lt, b_h, a_h)]
+                x_l = jnp.concatenate(pl_, 0)
+                x_h = jnp.concatenate(ph_, 0)
+                d //= 2
+            while d >= 1:
+                bit = (jax.lax.broadcasted_iota(
+                    jnp.uint32, (ACC_H, CHUNK_W), 0) & U32(d)) != U32(0)
+                # shifts as explicit i32: bare ints weak-type to i64 under
+                # jax_enable_x64 and Mosaic rejects the rotate. The roll
+                # partner is within each 8-row tile: d < 8 and ACC_H is a
+                # multiple of 8, so rolling the full array by d with
+                # stride... per-8-row semantics require the roll inside
+                # tiles; roll the full (ACC_H, W) array only when the
+                # permutation is tile-local (it is: i^d stays in its 8-row
+                # group for d < 8, and the group-crossing wrap lanes are
+                # never selected).
+                p_l = jnp.where(bit, pltpu.roll(x_l, jnp.int32(d), 0),
+                                pltpu.roll(x_l, jnp.int32(ACC_H - d), 0))
+                p_h = jnp.where(bit, pltpu.roll(x_h, jnp.int32(d), 0),
+                                pltpu.roll(x_h, jnp.int32(ACC_H - d), 0))
+                lt = _lex_lt(x_h, x_l, p_h, p_l)
+                # keep min where this row is the low partner (bit==0),
+                # max where it is the high partner
+                take_self = lt ^ bit
+                x_l = jnp.where(take_self, x_l, p_l)
+                x_h = jnp.where(take_self, x_h, p_h)
+                d //= 2
+            alo[...] = x_l
+            ahi[...] = x_h
+            return covf, aovf
+
+        covf, aovf = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(nchunks), chunk,
+            (jnp.int32(0), jnp.int32(0)))
+        ovf_ref[0, 0] = covf
+        ovf_ref[0, 1] = aovf
+        cout0 = pltpu.make_async_copy(alo, out_lo_hbm, sem_o0)
+        cout1 = pltpu.make_async_copy(ahi, out_hi_hbm, sem_o1)
+        cout0.start()
+        cout1.start()
+        cout0.wait()
+        cout1.wait()
 
     pl.run_scoped(
         body,
         slo=pltpu.VMEM((2, COLH, CHUNK_W), jnp.uint32),
         shi=pltpu.VMEM((2, COLH, CHUNK_W), jnp.uint32),
-        olo=pltpu.VMEM((ROWS_OUT, CHUNK_W), jnp.uint32),
-        ohi=pltpu.VMEM((ROWS_OUT, CHUNK_W), jnp.uint32),
+        nlo=pltpu.VMEM((ROWS_OUT, CHUNK_W), jnp.uint32),
+        nhi=pltpu.VMEM((ROWS_OUT, CHUNK_W), jnp.uint32),
+        alo=pltpu.VMEM((ACC_H, CHUNK_W), jnp.uint32),
+        ahi=pltpu.VMEM((ACC_H, CHUNK_W), jnp.uint32),
+        ghlo=pltpu.VMEM((COLH, CHUNK_W), jnp.uint32),
+        ghhi=pltpu.VMEM((COLH, CHUNK_W), jnp.uint32),
         sem_in=pltpu.SemaphoreType.DMA((2, 2)),
         sem_o0=pltpu.SemaphoreType.DMA,
         sem_o1=pltpu.SemaphoreType.DMA,
+        sem_h0=pltpu.SemaphoreType.DMA,
+        sem_h1=pltpu.SemaphoreType.DMA,
     )
 
 
@@ -189,17 +323,30 @@ def extract_candidates(vlo, vhi, thresh_hi, thresh_lo, *, k: int,
     """Run the fused kernel over b = vlo.size lanes.
 
     vlo/vhi: u32[b] halves of v = packed<<1|is_rc (u64::MAX lanes = padding).
-    Returns (cand u64[b//4] spill-encoded composites, overflow flag i32).
+    Returns (cand, slab, hash_lo, hash_hi, chunk_ovf, acc_ovf):
+      cand u64[ACC_H*CHUNK_W] — the whole batch's survivors compacted by
+        the cross-chunk accumulator (spill-encoded composites); exact iff
+        acc_ovf == 0,
+      slab u64[nchunks*ROWS_OUT*CHUNK_W] — the per-chunk 8-extract rows;
+        exact iff chunk_ovf == 0 (duplicate-heavy streams overflow the
+        accumulator long before any single chunk column exceeds ROWS_OUT),
+      hash_lo/hash_hi u32[b] — every lane's murmur halves, so the tier-C
+        XLA fallback selects without re-hashing,
+      chunk_ovf/acc_ovf i32 flags.
     """
     b = vlo.shape[0]
     nchunks = b // (COLH * CHUNK_W)
     kern = partial(_extract_kernel, k, seed, nchunks)
-    out_lo, out_hi, ovf = pl.pallas_call(
+    out_lo, out_hi, slab_lo, slab_hi, h_lo, h_hi, ovf = pl.pallas_call(
         kern,
         out_shape=(
+            jax.ShapeDtypeStruct((ACC_H, CHUNK_W), jnp.uint32),
+            jax.ShapeDtypeStruct((ACC_H, CHUNK_W), jnp.uint32),
             jax.ShapeDtypeStruct((nchunks * ROWS_OUT, CHUNK_W), jnp.uint32),
             jax.ShapeDtypeStruct((nchunks * ROWS_OUT, CHUNK_W), jnp.uint32),
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((nchunks * COLH, CHUNK_W), jnp.uint32),
+            jax.ShapeDtypeStruct((nchunks * COLH, CHUNK_W), jnp.uint32),
+            jax.ShapeDtypeStruct((1, 2), jnp.int32),
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -208,6 +355,10 @@ def extract_candidates(vlo, vhi, thresh_hi, thresh_lo, *, k: int,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -220,4 +371,7 @@ def extract_candidates(vlo, vhi, thresh_hi, thresh_lo, *, k: int,
       vhi.reshape(nchunks * COLH, CHUNK_W))
     cand = ((out_hi.astype(jnp.uint64) << jnp.uint64(32))
             | out_lo.astype(jnp.uint64)).ravel()
-    return cand, ovf[0, 0]
+    slab = ((slab_hi.astype(jnp.uint64) << jnp.uint64(32))
+            | slab_lo.astype(jnp.uint64)).ravel()
+    return (cand, slab, h_lo.ravel(), h_hi.ravel(),
+            ovf[0, 0], ovf[0, 1])

@@ -22,19 +22,84 @@ def test_extract_candidates_matches_oracle(kk, seed):
     v[-37:] = U64_MAX  # nvalid padding
     thresh = np.uint64(int(0.01 * 2 ** 64))
 
-    cand, ovf = pe.extract_candidates(
+    cand, slab, _khl, _khh, covf, aovf = pe.extract_candidates(
         jnp.asarray((v & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
         jnp.asarray((v >> np.uint64(32)).astype(np.uint32)),
         jnp.uint32(int(thresh >> np.uint64(32))),
         jnp.uint32(int(thresh & np.uint64(0xFFFFFFFF))),
         k=kk, seed=seed, interpret=True)
     cand = np.asarray(cand)
+    slab = np.asarray(slab)
 
     hashes = murmur3_packed(packed[:-37], kk, seed)
     exp = np.sort(v[:-37][hashes <= thresh] + np.uint64(1))
     got = np.sort(cand[cand != U64_MAX])
-    assert int(ovf) == 0
+    assert int(covf) == 0 and int(aovf) == 0
     assert np.array_equal(exp, got)
+    # the per-chunk slab (tier B) must hold the same survivor multiset
+    assert np.array_equal(exp, np.sort(slab[slab != U64_MAX]))
+    # the hash planes (tier C input) must be the murmur of every lane
+    kh = ((np.asarray(_khh).astype(np.uint64) << np.uint64(32))
+          | np.asarray(_khl).astype(np.uint64))
+    assert np.array_equal(kh[:-37], hashes)
+
+
+def test_extract_candidates_multichunk_accumulator():
+    """Survivors from every chunk must come out of the cross-chunk
+    accumulator exactly (multiset equality, duplicates included)."""
+    import jax.numpy as jnp
+
+    b = 4 * pe.COLH * pe.CHUNK_W
+    rng = np.random.default_rng(5)
+    packed = rng.integers(0, 4 ** 21, size=b, dtype=np.uint64)
+    packed[b // 2:b // 2 + 64] = packed[:64]  # cross-chunk duplicates
+    rc = rng.integers(0, 2, size=b, dtype=np.uint64)
+    v = (packed << np.uint64(1)) | rc
+    thresh = np.uint64(int(0.004 * 2 ** 64))
+
+    cand, slab, _khl, _khh, covf, aovf = pe.extract_candidates(
+        jnp.asarray((v & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+        jnp.asarray((v >> np.uint64(32)).astype(np.uint32)),
+        jnp.uint32(int(thresh >> np.uint64(32))),
+        jnp.uint32(int(thresh & np.uint64(0xFFFFFFFF))),
+        k=21, seed=0, interpret=True)
+    cand = np.asarray(cand)
+    slab = np.asarray(slab)
+    assert cand.shape == (pe.ACC_H * pe.CHUNK_W,)
+    assert slab.shape == (4 * pe.ROWS_OUT * pe.CHUNK_W,)
+
+    hashes = murmur3_packed(packed, 21, 0)
+    exp = np.sort(v[hashes <= thresh] + np.uint64(1))
+    got = np.sort(cand[cand != U64_MAX])
+    assert int(covf) == 0 and int(aovf) == 0
+    assert np.array_equal(exp, got)
+    assert np.array_equal(exp, np.sort(slab[slab != U64_MAX]))
+
+
+def test_extract_candidates_accumulator_overflow():
+    """> ACC_H survivors in one lane column across chunks (each chunk within
+    the per-chunk ROWS_OUT bound) must raise the overflow flag."""
+    import jax.numpy as jnp
+
+    nchunks = (pe.ACC_H // pe.ROWS_OUT) + 1
+    b = nchunks * pe.COLH * pe.CHUNK_W
+    v = np.full(b, U64_MAX, dtype=np.uint64)  # all padding...
+    for c in range(nchunks):  # ...except ROWS_OUT lanes of column 0 per chunk
+        base = c * pe.COLH * pe.CHUNK_W
+        for r in range(pe.ROWS_OUT):
+            v[base + r * pe.CHUNK_W] = np.uint64(c * pe.ROWS_OUT + r) << 1
+
+    cand, slab, _khl, _khh, covf, aovf = pe.extract_candidates(
+        jnp.asarray((v & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+        jnp.asarray((v >> np.uint64(32)).astype(np.uint32)),
+        jnp.uint32(0xFFFFFFFF), jnp.uint32(0xFFFFFFFF),  # admit everything
+        k=21, seed=0, interpret=True)
+    assert int(aovf) == 1
+    # no single chunk column exceeded ROWS_OUT, so tier B stays exact:
+    slab = np.asarray(slab)
+    exp = np.sort(v[v != U64_MAX] + np.uint64(1))
+    assert int(covf) == 0
+    assert np.array_equal(exp, np.sort(slab[slab != U64_MAX]))
 
 
 def test_extract_candidates_overflow_flag():
@@ -43,12 +108,12 @@ def test_extract_candidates_overflow_flag():
 
     b = pe.COLH * pe.CHUNK_W
     v = np.arange(b, dtype=np.uint64)  # all valid, tiny composites
-    cand, ovf = pe.extract_candidates(
+    cand, slab, _khl, _khh, covf, aovf = pe.extract_candidates(
         jnp.asarray((v & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
         jnp.asarray((v >> np.uint64(32)).astype(np.uint32)),
         jnp.uint32(0xFFFFFFFF), jnp.uint32(0xFFFFFFFF),  # admit everything
         k=21, seed=0, interpret=True)
-    assert int(ovf) == 1  # 32 survivors per column > ROWS_OUT
+    assert int(covf) == 1  # 32 survivors per column > ROWS_OUT
 
 
 def test_sketch_step_composite_equals_classic():
@@ -85,3 +150,105 @@ def test_sketch_step_composite_equals_classic():
         f2, _ = bottomk.flush_state(s2, jnp.uint64(0), k=21, seed=0)
         for a, b2 in zip(f1[:4], f2[:4]):
             assert np.array_equal(np.asarray(a), np.asarray(b2)), use_kernel
+
+
+def test_aggregate_runs_preserves_weighted_multiset():
+    """_aggregate_runs must conserve the total occurrence count of every
+    composite (run heads carry run_length-1 in the weight bits) and emit
+    only real entries above U64_MAX padding after its compaction sort."""
+    import jax.numpy as jnp
+
+    from finch_tpu.ops import bottomk
+
+    k = 21
+    shift = bottomk._spill_weight_shift(k)
+    rng = np.random.default_rng(3)
+    H, w = 64, 256
+    vals = rng.integers(1, 1000, size=(H, w)).astype(np.uint64)
+    # heavy duplication + padding
+    vals[vals % 3 == 0] = 42
+    pad = rng.random((H, w)) < 0.3
+    vals[pad] = U64_MAX
+    s2 = np.sort(vals, axis=0)  # column-sorted, as stage2 provides
+
+    out = np.asarray(bottomk._aggregate_runs(jnp.asarray(s2), shift))
+    mask = np.uint64((1 << shift) - 1)
+    real = out[out != U64_MAX]
+    got = {}
+    for e in real:
+        got[int(e & mask)] = got.get(int(e & mask), 0) + int(e >> shift) + 1
+    exp = {}
+    for e in vals[vals != U64_MAX]:
+        exp[int(e)] = exp.get(int(e), 0) + 1
+    assert got == exp
+    # compaction: every real entry sits above the first all-MAX row
+    col_real = (out != U64_MAX)
+    assert np.array_equal(np.sort(col_real, axis=0)[::-1], col_real)
+
+
+def test_weighted_spill_flush_exact():
+    """_flush must decode run weights from spill entries: a weighted head
+    equals that many plain duplicates, bit for bit."""
+    import jax.numpy as jnp
+
+    from finch_tpu.ops import bottomk
+
+    k = 21
+    shift = bottomk._spill_weight_shift(k)
+    rng = np.random.default_rng(9)
+    pk = rng.integers(0, 4 ** k, size=64, dtype=np.uint64)
+    rc = rng.integers(0, 2, size=64, dtype=np.uint64)
+    comp = ((pk << np.uint64(1)) | rc) + np.uint64(1)
+    weights = rng.integers(1, 7, size=64).astype(np.uint64)
+
+    cap = 32
+    spill_w = np.full(256, U64_MAX, dtype=np.uint64)
+    spill_w[:64] = comp + ((weights - 1) << np.uint64(shift))
+    plain = np.full(1024, U64_MAX, dtype=np.uint64)
+    pos = 0
+    for c, wt in zip(comp, weights):
+        plain[pos:pos + int(wt)] = c
+        pos += int(wt)
+
+    s4 = (jnp.full((cap,), U64_MAX, dtype=jnp.uint64),
+          jnp.zeros((cap,), dtype=jnp.uint64),
+          jnp.zeros((cap,), dtype=jnp.uint64),
+          jnp.zeros((cap,), dtype=jnp.uint64))
+    a, _ = bottomk._flush(s4, jnp.asarray(spill_w), jnp.uint64(0),
+                          k=k, seed=0)
+    b, _ = bottomk._flush(s4, jnp.asarray(plain), jnp.uint64(0),
+                          k=k, seed=0)
+    for x, y in zip(a, b):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_dup_burst_xla_aggregation_end_to_end():
+    """Full sketch_step with duplicate-run aggregation (the tier-B/C
+    machinery, forced onto the XLA path): a 64x-duplicate burst stream
+    must produce bit-identical state to the plain path, counts included."""
+    import jax.numpy as jnp
+
+    from finch_tpu.ops import bottomk
+
+    rng = np.random.default_rng(21)
+    cap, b = 2000, 1 << 17  # two_stage threshold is 128k lanes
+    s_agg = bottomk.empty_state(cap)
+    s_plain = bottomk.empty_state(cap)
+    for step in range(3):
+        base = rng.integers(0, 4 ** 21, size=b // 64, dtype=np.uint64)
+        pk = np.tile(base, 64)
+        rc = np.tile(rng.integers(0, 2, size=b // 64, dtype=np.uint8), 64)
+        nv = jnp.uint32(b)
+        s_agg, _ = bottomk.sketch_step(
+            s_agg, jnp.asarray(pk), jnp.asarray(rc), nv, jnp.uint64(0),
+            k=21, seed=0, has_max_hash=False, xla_aggregate=True)
+        s_plain, _ = bottomk.sketch_step(
+            s_plain, jnp.asarray(pk), jnp.asarray(rc), nv, jnp.uint64(0),
+            k=21, seed=0, has_max_hash=False)
+    f1, _ = bottomk.flush_state(s_agg, jnp.uint64(0), k=21, seed=0)
+    f2, _ = bottomk.flush_state(s_plain, jnp.uint64(0), k=21, seed=0)
+    for a, b2 in zip(f1[:4], f2[:4]):
+        assert np.array_equal(np.asarray(a), np.asarray(b2))
+    # counts really reflect the 64x duplication
+    counts = np.asarray(f1[1])
+    assert counts.max() >= 64
