@@ -518,3 +518,61 @@ def test_bsk_bulk_writer_lazy_roundtrip(tmp_path):
     # nothing has forced the lazy containers
     assert all(getattr(s.hashes, "_soa", None) is not None for s in loaded)
     assert write_finch_file(loaded) == data
+
+
+def test_sk_fast_scan_fallback_and_adversarial(tmp_path):
+    """The .sk byte-level bulk scanner must (a) match json.loads on
+    whitespace-formatted docs via fallback, (b) never confuse literal
+    placeholder-looking strings, (c) round-trip kmers/names that need
+    real JSON escaping through the general writer/reader paths."""
+    import json as _json
+
+    import numpy as np
+
+    from finch_tpu.serialization.json_sk import read_sk_file
+
+    params = SketchParams.mash(kmers_to_sketch=4, final_size=4)
+    s = Sketch(name='we"ird\\name', seq_length=9, num_valid_kmers=7,
+               comment="c,]x", hashes=[
+                   KmerCount(hash=5, kmer=b'A"B', count=2, extra_count=1),
+                   KmerCount(hash=9, kmer=b"\xc3\xa9".decode("utf-8")
+                             .encode("utf-8"), count=3, extra_count=0)],
+               filter_params=FilterParams(),
+               sketch_params=params)
+    data = multisketch_to_json_bytes([s])
+    back = read_sk_file(data)[0]
+    assert back.name == 'we"ird\\name'
+    assert back.kmer_list() == [b'A"B', "é".encode("utf-8")]
+    assert [kc.count for kc in back.hashes] == [2, 3]
+
+    # whitespace-formatted document -> full fallback, same result
+    pretty = _json.dumps(_json.loads(data)).encode()
+    back2 = read_sk_file(pretty)[0]
+    assert [kc.hash for kc in back2.hashes] == [kc.hash
+                                               for kc in back.hashes]
+    assert back2.kmer_list() == back.kmer_list()
+
+    # a name that LOOKS like a placeholder must stay a plain name
+    s2 = Sketch(name="__finch_seg:hashes:0", seq_length=1,
+                num_valid_kmers=1, comment="",
+                hashes=[KmerCount(hash=3, kmer=b"AC", count=1,
+                                  extra_count=0)],
+                filter_params=FilterParams(), sketch_params=params)
+    back3 = read_sk_file(multisketch_to_json_bytes([s2]))[0]
+    assert back3.name == "__finch_seg:hashes:0"
+    assert [kc.hash for kc in back3.hashes] == [3]
+
+    # hashes array containing a placeholder-shaped string is malformed
+    # (non-decimal) -> clean schema error either path
+    bad = (b'{"kmer":21,"alphabet":"ACGT","preserveCase":false,'
+           b'"canonical":true,"sketchSize":4,'
+           b'"hashType":"MurmurHash3_x64_128","hashBits":64,"hashSeed":0,'
+           b'"scale":null,"sketches":[{"name":"x","seqLength":1,'
+           b'"numValidKmers":1,"comment":"","filters":{},'
+           b'"hashes":["__finch_seg:hashes:0"],"kmers":["AC"],'
+           b'"counts":[1]}]}')
+    import pytest as _pytest
+
+    from finch_tpu.errors import FinchSchemaError
+    with _pytest.raises(FinchSchemaError):
+        read_sk_file(bad)
