@@ -414,7 +414,13 @@ class MessageBuilder:
         nwords = (n * size + WORD - 1) // WORD
         target = self.alloc(nwords)
         self.write_list_ptr(ptr_ofs, target, elem_code, n)
-        struct.pack_into(f"<{n}{fmt}", self.buf, target * WORD, *values)
+        if type(values).__module__ == "numpy":  # bulk path, no arg tuple
+            dt = {"I": "<u4", "Q": "<u8", "H": "<u2", "B": "u1",
+                  "f": "<f4", "d": "<f8"}[fmt]
+            raw = values.astype(dt, copy=False).tobytes()
+            self.buf[target * WORD: target * WORD + len(raw)] = raw
+        else:
+            struct.pack_into(f"<{n}{fmt}", self.buf, target * WORD, *values)
 
     def to_bytes(self) -> bytes:
         # single segment: header = [0 (count-1), size], already 8-byte aligned

@@ -47,8 +47,27 @@ def write_mash_file(sketches: List[Sketch]) -> bytes:
         rb.set_text(3, sketch.comment)
         rb.set("Q", 1, sketch.seq_length)               # length64
         rb.set("Q", 2, sketch.num_valid_kmers)          # numValidKmers
-        rb.set_primitive_list(5, "Q", [kc.hash for kc in sketch.hashes])
-        rb.set_primitive_list(6, "I", [kc.count for kc in sketch.hashes])
+        # SoA-aware: no KmerCount forcing, one numpy store per list.
+        # Counts saturate to u32 like the sketcher's saturating_add
+        # (mash.rs:47-49) instead of crashing on merged counts past
+        # u32::MAX.
+        soa = getattr(sketch.hashes, "_soa", None)
+        if soa is not None:
+            h_arr, c_arr = soa[0], soa[2]
+            import numpy as np
+
+            c_arr = np.minimum(c_arr.astype(np.int64, copy=False),
+                               0xFFFFFFFF).astype(np.uint32)
+        else:
+            import numpy as np
+
+            h_arr = np.fromiter((kc.hash for kc in sketch.hashes),
+                                np.uint64, len(sketch.hashes))
+            c_arr = np.fromiter(
+                (min(kc.count, 0xFFFFFFFF) for kc in sketch.hashes),
+                np.uint32, len(sketch.hashes))
+        rb.set_primitive_list(5, "Q", h_arr)
+        rb.set_primitive_list(6, "I", c_arr)
     return msg.to_bytes()
 
 
