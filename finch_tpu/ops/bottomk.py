@@ -460,7 +460,10 @@ def sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
 
         def run_two_stage_kh(c):
             # tier C reuses the kernel's hash planes: mask + select +
-            # two-stage sort, no XLA re-hash (the murmur dominates)
+            # two-stage sort, no XLA re-hash (the murmur dominates).
+            # No aggregation here: at tier-C densities the slab runs are
+            # short and the per-block row-sort/scan machinery measured
+            # net-negative (~1 ms per stage-2 call for <2x compression)
             h = ((kh_hi.astype(jnp.uint64) << jnp.uint64(32))
                  | kh_lo.astype(jnp.uint64))
             keep = valid & (h <= thresh)
@@ -469,7 +472,7 @@ def sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
                 ((vhi.astype(jnp.uint64) << jnp.uint64(32))
                  | vlo.astype(jnp.uint64)) + jnp.uint64(1),
                 U64_MAX)
-            return run_two_stage(c, comp=comp, aggregate=True)
+            return run_two_stage(c, comp=comp)
 
         # tier A: the in-kernel accumulator held every survivor — page its
         #   b/64-entry output (the common path).

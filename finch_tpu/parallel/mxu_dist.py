@@ -190,7 +190,13 @@ def all_pairs_common(hashes_padded: np.ndarray, lengths: np.ndarray,
         page *= 2
     page = min(page, max(int(cap), 2))
     common = _gram_accumulate(rid, sid, n_shared, n, page)
-    common = np.asarray(common, dtype=np.int64)
+    if k < (1 << 16):
+        # counts are bounded by the padded sketch length, so fetch the
+        # (N, N) matrix as u16 — exact, and half/quarter the host
+        # transfer (at 10k sketches the f32 matrix is 400 MB; on the
+        # tunneled dev endpoint the fetch, not the Gram, was the wall)
+        common = jax.jit(lambda c: c.astype(jnp.uint16))(common)
+    common = np.asarray(common).astype(np.int64)
     np.fill_diagonal(common, np.asarray(lengths, dtype=np.int64))
     return common
 
