@@ -91,10 +91,15 @@ class LazyKmerCounts(list):
 
     # list mutators/readers must force first: operating on the empty
     # backing store of an unforced container would silently reorder or
-    # drop elements (public-API footgun — ADVICE r2)
+    # drop elements (public-API footgun — ADVICE r2). Binary ops force
+    # the OTHER operand too — list.__add__/__lt__ on an unforced lazy
+    # RHS would read its empty backing store.
     def _make_forcing(name):  # noqa: N805 — class-body helper
         def method(self, *args, **kwargs):
             self._force()
+            for a in args:
+                if isinstance(a, LazyKmerCounts):
+                    a._force()
             return getattr(list, name)(self, *args, **kwargs)
 
         method.__name__ = name
@@ -102,11 +107,16 @@ class LazyKmerCounts(list):
 
     for _name in ("append", "extend", "insert", "remove", "pop", "clear",
                   "index", "count", "sort", "reverse", "copy",
-                  "__setitem__", "__delitem__", "__add__", "__radd__",
+                  "__setitem__", "__delitem__", "__add__",
                   "__iadd__", "__mul__", "__rmul__", "__imul__",
                   "__lt__", "__le__", "__gt__", "__ge__"):
         locals()[_name] = _make_forcing(_name)
     del _name, _make_forcing
+
+    def __radd__(self, other):
+        # list has no __radd__; plain_list + lazy lands here
+        self._force()
+        return other + list(self)
 
     def __eq__(self, other):
         self._force()

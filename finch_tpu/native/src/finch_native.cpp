@@ -1289,6 +1289,14 @@ static void aligner_main(Pipeline* p) {
         if (cls < 4) nbases++;
         ov--;
       }
+      // Progress guard: ov is how many bytes this split actually retires
+      // (the rest stays buffered as primed overlap). A sparse prefix --
+      // e.g. a long blank-line run holding < k-1 valid bases -- can drive
+      // ov to 0, and erase(0, 0) would re-emit the same chunk forever
+      // (livelock). Requiring a quarter-chunk of progress keeps total
+      // work linear; when it trips we simply keep buffering, which is the
+      // serial parser's behavior for that stretch of the record.
+      if (ov < p->chunk_target / 4) break;
       std::string chunk = buf.substr(0, cut);
       uint64_t prime = cut - ov;
       buf.erase(0, ov);

@@ -485,9 +485,13 @@ def sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
         # One flat lax.switch, not nested conds: conditional outputs are
         # copied by buffer assignment, and the carry (state + spill) is
         # ~15 MB — one branch point halves that per-step copy traffic.
+        # Priority: covf first — a chunk-column overflow drops survivors
+        # from BOTH the slab and the accumulator (the 8-extract loses
+        # them before the accumulator ever sees them), so covf!=0 must
+        # force tier C even when the accumulator itself never overflowed.
         tier = jnp.where(
-            aovf == 0, jnp.int32(0),
-            jnp.where(covf == 0, jnp.int32(1), jnp.int32(2)))
+            covf != 0, jnp.int32(2),
+            jnp.where(aovf != 0, jnp.int32(1), jnp.int32(0)))
         (state4, spill, fill, below) = jax.lax.switch(
             tier,
             (lambda c: stage2_pages(c, cand),

@@ -326,7 +326,8 @@ def extract_candidates(vlo, vhi, thresh_hi, thresh_lo, *, k: int,
     Returns (cand, slab, hash_lo, hash_hi, chunk_ovf, acc_ovf):
       cand u64[ACC_H*CHUNK_W] — the whole batch's survivors compacted by
         the cross-chunk accumulator (spill-encoded composites); exact iff
-        acc_ovf == 0,
+        chunk_ovf == 0 AND acc_ovf == 0 (a chunk-column overflow loses
+        survivors before the accumulator ever sees them),
       slab u64[nchunks*ROWS_OUT*CHUNK_W] — the per-chunk 8-extract rows;
         exact iff chunk_ovf == 0 (duplicate-heavy streams overflow the
         accumulator long before any single chunk column exceeds ROWS_OUT),

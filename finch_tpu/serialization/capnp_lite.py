@@ -67,7 +67,7 @@ def _word(seg: memoryview, word_ofs: int) -> int:
     return struct.unpack_from("<Q", seg, word_ofs * WORD)[0]
 
 
-def read_pointer(segments, seg_id: int, word_ofs: int):
+def read_pointer(segments, seg_id: int, word_ofs: int, _depth: int = 0):
     """Decode the pointer at (seg_id, word_ofs). Returns StructReader,
     ListReader, or None for null."""
     ptr = _word(segments[seg_id], word_ofs)
@@ -75,13 +75,18 @@ def read_pointer(segments, seg_id: int, word_ofs: int):
         return None
     kind = ptr & 3
     if kind == 2:  # far pointer
+        # a single far pointer's landing pad must be an ordinary object
+        # pointer; chains of far pointers are malformed, and without this
+        # bound a crafted self-referential far pointer recurses forever
+        if _depth >= 2:
+            raise CapnpError("far pointer chain too deep")
         double = (ptr >> 2) & 1
         pad_ofs = (ptr >> 3) & ((1 << 29) - 1)
         target_seg = ptr >> 32
         if target_seg >= len(segments):
             raise CapnpError("far pointer to missing segment")
         if not double:
-            return read_pointer(segments, target_seg, pad_ofs)
+            return read_pointer(segments, target_seg, pad_ofs, _depth + 1)
         # double-far: landing pad is [far ptr to content start, tag word]
         pad = _word(segments[target_seg], pad_ofs)
         if pad & 3 != 2:

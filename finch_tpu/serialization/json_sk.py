@@ -181,11 +181,18 @@ _PRINTABLE = bytes(range(0x20, 0x7F))
 def _seg_ok(name: bytes, seg: bytes) -> bool:
     if not seg:
         return True  # empty array
-    if name in (b"hashes", b"counts"):
-        # charset-only check: the numpy decimal parse rejects malformed
-        # shapes (missing quotes/commas) with the same clean schema error
-        # json.loads would have raised
-        return seg.translate(None, delete=_NUMERIC_CHARS) == b""
+    if name == b"hashes":
+        # quoted-decimal shape only; anything else (e.g. unquoted ints,
+        # which json.loads accepted before this fast path existed) falls
+        # back to the general parser. Malformed remnants the charset
+        # check can't see are rejected by the numpy decimal parse with
+        # the same clean schema error json.loads would have raised.
+        return (seg[0:1] == b'"' and seg[-1:] == b'"'
+                and seg.translate(None, delete=_NUMERIC_CHARS) == b"")
+    if name == b"counts":
+        # bare decimals only; quoted counts fall back to json.loads
+        return (b'"' not in seg
+                and seg.translate(None, delete=_NUMERIC_CHARS) == b"")
     # kmers: outer quotes, no escapes, no control/8-bit bytes, and every
     # '"' accounted for by an element boundary or a '","' separator (so
     # the split is exactly json.loads's element list)

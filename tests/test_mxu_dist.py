@@ -106,3 +106,20 @@ def test_below_counts_device_matches_host():
     want = _below_counts(H, L, thresholds, side="right")
     got = below_counts_device(H, L, thresholds)
     assert np.array_equal(got, want)
+
+
+def test_all_pairs_common_u16_fetch_exact_at_full_overlap():
+    """The u16 result fetch must stay exact when common counts hit their
+    maximum (identical sketches: common == padded length)."""
+    import numpy as np
+
+    from finch_tpu.parallel.mxu_dist import all_pairs_common, pack_db
+
+    rng = np.random.default_rng(4)
+    hs = np.sort(rng.choice(1 << 50, size=300,
+                            replace=False).astype(np.uint64))
+    H, L = pack_db([hs, hs.copy(), hs[:150]])
+    common = all_pairs_common(H, L)
+    assert common[0, 1] == 300 and common[1, 0] == 300
+    assert common[0, 2] == 150
+    assert common[0, 0] == 300 and common[2, 2] == 150

@@ -252,3 +252,51 @@ def test_dup_burst_xla_aggregation_end_to_end():
     # counts really reflect the 64x duplication
     counts = np.asarray(f1[1])
     assert counts.max() >= 64
+
+
+def test_tier_switch_chunk_overflow_forces_tier_c(monkeypatch):
+    """covf=1 with aovf=0 (a chunk column overflowed while the
+    accumulator never did) must route to tier C: both cand and slab are
+    inexact in that state, and paging either would silently drop
+    survivors. The kernel is stubbed to return garbage cand/slab with
+    correct hash planes and exactly that flag combination; the final
+    state must still equal the pure-XLA path bit for bit."""
+    import jax.numpy as jnp
+
+    from finch_tpu.ops import bottomk
+
+    k, cap, b = 21, 509, pe.COLH * pe.CHUNK_W  # distinctive cap: the jit cache must never leak this stubbed trace to other tests
+    rng = np.random.default_rng(13)
+    pk = rng.integers(0, 4 ** k, size=b, dtype=np.uint64)
+    pk[: b // 4] = pk[b // 4: b // 2]  # duplicates
+    rc = rng.integers(0, 2, size=b, dtype=np.uint8)
+    hashes = murmur3_packed(pk, k, 0)
+
+    def stub(vlo, vhi, th_hi, th_lo, *, k, seed, interpret=False):
+        nchunks = vlo.shape[0] // (pe.COLH * pe.CHUNK_W)
+        garbage = jnp.zeros((pe.ACC_H * pe.CHUNK_W,), jnp.uint64)
+        gslab = jnp.zeros((nchunks * pe.ROWS_OUT * pe.CHUNK_W,),
+                          jnp.uint64)
+        return (garbage, gslab,
+                jnp.asarray((hashes & np.uint64(0xFFFFFFFF))
+                            .astype(np.uint32)),
+                jnp.asarray((hashes >> np.uint64(32)).astype(np.uint32)),
+                jnp.int32(1), jnp.int32(0))
+
+    monkeypatch.setattr(bottomk.pallas_extract, "extract_candidates", stub)
+    monkeypatch.setattr(bottomk.pallas_extract, "supports",
+                        lambda kk, bb: True)
+
+    s_kern = bottomk.empty_state(cap)
+    s_ref = bottomk.empty_state(cap)
+    nv = jnp.uint32(b)
+    s_kern, _ = bottomk.sketch_step(
+        s_kern, jnp.asarray(pk), jnp.asarray(rc), nv, jnp.uint64(0),
+        k=k, seed=0, has_max_hash=False, use_kernel=True)
+    s_ref, _ = bottomk.sketch_step(
+        s_ref, jnp.asarray(pk), jnp.asarray(rc), nv, jnp.uint64(0),
+        k=k, seed=0, has_max_hash=False, use_kernel=False)
+    f1, _ = bottomk.flush_state(s_kern, jnp.uint64(0), k=k, seed=0)
+    f2, _ = bottomk.flush_state(s_ref, jnp.uint64(0), k=k, seed=0)
+    for a, b2 in zip(f1[:4], f2[:4]):
+        assert np.array_equal(np.asarray(a), np.asarray(b2))

@@ -437,3 +437,34 @@ def test_within_record_split_fused_sketch_pipeline():
         [k.astuple() for k in serial.hashes]
     assert (fused.seq_length, fused.num_valid_kmers) == \
         (serial.seq_length, serial.num_valid_kmers)
+
+
+def test_parallel_reader_sparse_whitespace_run_no_livelock():
+    """A giant record whose middle is a long blank-line run with fewer
+    than k-1 valid bases used to livelock the within-record split
+    aligner (the k-1 overlap back-scan made zero progress and the same
+    chunk was re-emitted forever). The stream and totals must match the
+    serial parser, within a bounded walltime."""
+    import numpy as np
+
+    from finch_tpu.native import KmerReader, StreamingParallelReader
+
+    seq_a = "ACGT" * 30000
+    seq_b = "TGCA" * 30000
+    body = seq_a + "N\n" + "\n" * 70000 + seq_b
+    fa = (">giant\n" + body + "\n").encode()
+
+    serial = KmerReader(fa, k=21, batch_size=1 << 16)
+    s_pk = []
+    for pk, rc in serial:
+        s_pk.append(((pk << np.uint64(1)) | rc))
+    s_all = np.sort(np.concatenate(s_pk)) if s_pk else np.empty(0)
+    s_tot = serial.totals
+
+    par = StreamingParallelReader(fa, k=21, batch_size=1 << 16, threads=3)
+    p_pk = []
+    for pk, rc in par:
+        p_pk.append(((pk << np.uint64(1)) | rc))
+    p_all = np.sort(np.concatenate(p_pk)) if p_pk else np.empty(0)
+    assert par.totals == s_tot
+    assert np.array_equal(s_all, p_all)

@@ -576,3 +576,59 @@ def test_sk_fast_scan_fallback_and_adversarial(tmp_path):
     from finch_tpu.errors import FinchSchemaError
     with _pytest.raises(FinchSchemaError):
         read_sk_file(bad)
+
+
+def test_lazy_kmercounts_binary_ops_force_both_operands():
+    """list ops with an unforced lazy OTHER operand must force it too —
+    list.__add__ would otherwise read its empty backing store and
+    silently drop elements; plain_list + lazy needs a real __radd__."""
+    import numpy as np
+
+    from finch_tpu.core.sketch import LazyKmerCounts
+
+    def mk(vals):
+        h = np.array(vals, np.uint64)
+        n = len(vals)
+        return LazyKmerCounts(h, [b"A"] * n, np.ones(n, np.uint32),
+                              np.zeros(n, np.uint32))
+
+    s = mk([1]) + mk([2])
+    assert [kc.hash for kc in s] == [1, 2]
+    assert [kc.hash for kc in [] + mk([5])] == [5]
+    x = mk([3])
+    x += mk([4])
+    assert [kc.hash for kc in x] == [3, 4]
+    assert mk([7]) == mk([7])
+
+
+def test_capnp_far_pointer_cycle_is_clean_error():
+    """A far pointer pointing at itself must raise a clean schema error,
+    not RecursionError (untrusted-file hardening invariant)."""
+    import struct as _s
+
+    from finch_tpu.errors import FinchSchemaError
+    from finch_tpu.serialization.finch_bsk import read_finch_file
+
+    # header: 1 segment of 1 word; root word = far pointer to seg 0 word 0
+    far = 2 | (0 << 2) | (0 << 3) | (0 << 32)
+    data = _s.pack("<II", 0, 1) + _s.pack("<Q", far)
+    with pytest.raises(FinchSchemaError):
+        read_finch_file(data)
+
+
+def test_sk_reader_accepts_unquoted_hashes_and_quoted_counts():
+    """Pre-fast-path leniency preserved: unquoted numeric hashes and
+    quoted counts (not our writer's shapes, but JSON-valid) must still
+    parse via the json.loads fallback rather than erroring."""
+    from finch_tpu.serialization.json_sk import read_sk_file
+
+    doc = (b'{"kmer":21,"alphabet":"ACGT","preserveCase":false,'
+           b'"canonical":true,"sketchSize":4,'
+           b'"hashType":"MurmurHash3_x64_128","hashBits":64,"hashSeed":0,'
+           b'"scale":null,"sketches":[{"name":"x","seqLength":1,'
+           b'"numValidKmers":2,"comment":"","filters":{},'
+           b'"hashes":[11,22],"kmers":["AC","GT"],'
+           b'"counts":["3","4"]}]}')
+    [s] = read_sk_file(doc)
+    assert [kc.hash for kc in s.hashes] == [11, 22]
+    assert [kc.count for kc in s.hashes] == [3, 4]

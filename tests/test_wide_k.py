@@ -104,11 +104,13 @@ def test_wide_k51_golden_pinned():
 
 
 def test_wide_k_rejected_above_63():
+    # pin the exact clean error type: a regression to TypeError/IndexError
+    # must FAIL this test, so no bare-Exception escape hatch
     from finch_tpu.errors import FinchError
 
     params = SketchParams.mash(kmers_to_sketch=4, final_size=4,
                                no_strict=True, kmer_length=64)
-    with pytest.raises((FinchError, Exception)):
+    with pytest.raises(FinchError, match="1..=63"):
         sketch_bytes(b">r\n" + b"ACGT" * 40 + b"\n", "t", params,
                      FilterParams(filter_on=False), backend="numpy")
 
