@@ -56,6 +56,8 @@ class LazyKmerCounts(list):
             ks, labels = ks()
         else:
             labels = None
+        if isinstance(ks, np.ndarray):
+            ks = ks.tolist()  # fixed-width 'S' store -> real bytes
         if labels is None:
             labels = [None] * len(ks)
         super().extend(
@@ -186,6 +188,8 @@ class Sketch:
                 ks, labels = ks()
             if labels is not None and all(lb is None for lb in labels):
                 labels = None
+            if isinstance(ks, np.ndarray):
+                return ks.tolist(), labels
             return list(ks), labels
         labels = [kc.label for kc in self.hashes]
         if all(lb is None for lb in labels):

@@ -150,8 +150,86 @@ def lib() -> ctypes.CDLL:
                 l.fn_serror.restype = ctypes.c_int
                 l.fn_serror.argtypes = [ctypes.c_void_p]
                 l.fn_sclose.argtypes = [ctypes.c_void_p]
+                i64 = ctypes.c_int64
+                l.fn_sk_qu64.restype = i64
+                l.fn_sk_qu64.argtypes = [
+                    ctypes.c_char_p, u64, ctypes.c_void_p, u64]
+                l.fn_sk_u32.restype = i64
+                l.fn_sk_u32.argtypes = [
+                    ctypes.c_char_p, u64, ctypes.c_void_p, u64]
+                l.fn_sk_kseg.restype = i64
+                l.fn_sk_kseg.argtypes = [ctypes.c_char_p, u64, p(i64)]
+                l.fn_sk_fmt_qu64.restype = u64
+                l.fn_sk_fmt_qu64.argtypes = [
+                    ctypes.c_void_p, u64, ctypes.c_void_p]
+                l.fn_sk_fmt_u32.restype = u64
+                l.fn_sk_fmt_u32.argtypes = [
+                    ctypes.c_void_p, u64, ctypes.c_void_p]
                 _lib = l
     return _lib
+
+
+def sk_parse_qu64(seg: bytes):
+    """Parse a '"d","d",...' quoted-u64 segment in one native pass.
+
+    Returns a uint64 array, None when the shape isn't compact serde_json
+    (caller falls back to json.loads), or raises OverflowError for a
+    value above u64::MAX (same outcome as the numpy decimal parse)."""
+    cap = len(seg) // 3 + 1  # each element is at least '"d"'
+    out = np.empty(cap, dtype=np.uint64)
+    n = lib().fn_sk_qu64(seg, len(seg), out.ctypes.data, cap)
+    if n == -2:
+        raise OverflowError("hash above u64::MAX")
+    if n < 0:
+        return None
+    return out[:n].copy()
+
+
+def sk_parse_u32(seg: bytes):
+    """Parse a bare 'd,d,...' u32 segment in one native pass.
+
+    Returns a uint32 array, None on shape mismatch, or raises
+    OverflowError for a value above u32::MAX (the reference's serde u32
+    deserialization errors on overflow, json.rs:122)."""
+    cap = len(seg) // 2 + 1
+    out = np.empty(cap, dtype=np.uint32)
+    n = lib().fn_sk_u32(seg, len(seg), out.ctypes.data, cap)
+    if n == -2:
+        raise OverflowError("count above u32::MAX")
+    if n < 0:
+        return None
+    return out[:n].copy()
+
+
+def sk_fmt_qu64(v: np.ndarray) -> bytes:
+    """Format a u64 array as the '"d","d"' quoted-decimal JSON list body
+    in one native pass (writer-side inverse of sk_parse_qu64)."""
+    v = np.ascontiguousarray(v, dtype=np.uint64)
+    out = np.empty(len(v) * 23, dtype=np.uint8)
+    n = lib().fn_sk_fmt_qu64(v.ctypes.data, len(v), out.ctypes.data)
+    return out[:n].tobytes()
+
+
+def sk_fmt_u32(v: np.ndarray) -> bytes:
+    """Format a u32 array as the bare 'd,d' JSON list body in one native
+    pass (writer-side inverse of sk_parse_u32)."""
+    v = np.ascontiguousarray(v, dtype=np.uint32)
+    out = np.empty(len(v) * 11, dtype=np.uint8)
+    n = lib().fn_sk_fmt_u32(v.ctypes.data, len(v), out.ctypes.data)
+    return out[:n].tobytes()
+
+
+def sk_scan_kseg(seg: bytes):
+    """Validate a '"K","K",...' kmer segment in one native pass.
+
+    Returns (count, fixed_len) where fixed_len is the common element
+    length (or -1 when lengths differ), or None when the shape isn't the
+    compact serde_json form."""
+    fl = ctypes.c_int64()
+    n = lib().fn_sk_kseg(seg, len(seg), ctypes.byref(fl))
+    if n < 0:
+        return None
+    return n, fl.value
 
 
 def murmur3_x64_128(key: bytes, seed: int = 0) -> tuple[int, int]:

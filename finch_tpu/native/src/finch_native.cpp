@@ -2148,3 +2148,135 @@ extern "C" int fn_serror(void* h) {
 }
 
 extern "C" void fn_sclose(void* h) { delete (spipe::SketchPipeline*)h; }
+
+// ---------------------------------------------------------------------------
+// .sk JSON bulk-segment parsers (serialization/json_sk.py fast path).
+//
+// The reference reads .sk documents through serde_json's compiled
+// tokenizer (lib/src/serialization/json.rs:91-139); our Python reader cuts
+// the three bulk arrays ("hashes"/"kmers"/"counts") out of the document and
+// these functions validate + parse one extracted segment (the bytes between
+// '[' and ']') in a single pass, replacing a bytes.split + numpy decimal
+// parse that allocated one Python object per element at DB scale.
+//
+// Return conventions: element count on success; -1 = shape not the compact
+// serde_json form (caller falls back to json.loads — NOT an error);
+// -2 = well-formed but value out of range (caller raises the schema error).
+// ---------------------------------------------------------------------------
+
+// quoted u64 decimals: "123","456" -> out[]. cap = capacity of out.
+extern "C" int64_t fn_sk_qu64(const uint8_t* s, uint64_t len, uint64_t* out,
+                              uint64_t cap) {
+  if (len == 0) return 0;
+  uint64_t i = 0, n = 0;
+  while (true) {
+    if (i >= len || s[i] != '"') return -1;
+    i++;
+    if (i >= len || s[i] < '0' || s[i] > '9') return -1;
+    uint64_t v = 0;
+    while (i < len && s[i] >= '0' && s[i] <= '9') {
+      uint64_t d = (uint64_t)(s[i] - '0');
+      if (v > (UINT64_MAX - d) / 10) return -2;  // > u64::MAX
+      v = v * 10 + d;
+      i++;
+    }
+    if (i >= len || s[i] != '"') return -1;
+    i++;
+    if (n >= cap) return -1;
+    out[n++] = v;
+    if (i == len) return (int64_t)n;
+    if (s[i] != ',') return -1;
+    i++;
+  }
+}
+
+// bare u32 decimals: 1,2,3 -> out[]. Values above u32::MAX return -2 (the
+// reference's serde u32 deserialization errors on overflow, json.rs:122).
+extern "C" int64_t fn_sk_u32(const uint8_t* s, uint64_t len, uint32_t* out,
+                             uint64_t cap) {
+  if (len == 0) return 0;
+  uint64_t i = 0, n = 0;
+  while (true) {
+    if (i >= len || s[i] < '0' || s[i] > '9') return -1;
+    uint64_t v = 0;
+    while (i < len && s[i] >= '0' && s[i] <= '9') {
+      v = v * 10 + (uint64_t)(s[i] - '0');
+      if (v > 0xFFFFFFFFULL) return -2;  // > u32::MAX
+      i++;
+    }
+    if (n >= cap) return -1;
+    out[n++] = (uint32_t)v;
+    if (i == len) return (int64_t)n;
+    if (s[i] != ',') return -1;
+    i++;
+  }
+}
+
+// kmer string segment: "ACG","TGA",... — validates the exact shape the
+// Python fast path accepted (outer quotes, no escapes, printable ASCII,
+// every '"' at an element boundary). Writes the common element length to
+// *fixed_len when all elements share one (so the caller can build a
+// fixed-width numpy view with zero per-element objects), else -1 there.
+extern "C" int64_t fn_sk_kseg(const uint8_t* s, uint64_t len,
+                              int64_t* fixed_len) {
+  *fixed_len = -1;
+  if (len == 0) return 0;
+  uint64_t i = 0, n = 0;
+  int64_t common = -2;  // -2 = unset, -1 = mixed
+  while (true) {
+    if (i >= len || s[i] != '"') return -1;
+    i++;
+    uint64_t start = i;
+    while (i < len && s[i] != '"') {
+      uint8_t c = s[i];
+      if (c < 0x20 || c > 0x7E || c == '\\') return -1;
+      i++;
+    }
+    if (i >= len) return -1;  // unterminated
+    int64_t l = (int64_t)(i - start);
+    if (common == -2) common = l;
+    else if (common != l) common = -1;
+    i++;  // closing quote
+    n++;
+    if (i == len) break;
+    if (i + 1 >= len || s[i] != ',' || s[i + 1] != '"') return -1;
+    i++;
+  }
+  *fixed_len = common;
+  return (int64_t)n;
+}
+
+// Formatters (writer side): emit the bulk arrays' JSON text in one pass.
+// Returns bytes written. Caller sizes out for the worst case.
+
+// u64 -> '"<dec>","<dec>"' (quoted, comma-joined). Worst case 23 B/elem.
+extern "C" uint64_t fn_sk_fmt_qu64(const uint64_t* v, uint64_t n,
+                                   uint8_t* out) {
+  uint8_t* o = out;
+  char tmp[20];
+  for (uint64_t i = 0; i < n; i++) {
+    if (i) *o++ = ',';
+    *o++ = '"';
+    uint64_t x = v[i];
+    int len = 0;
+    do { tmp[len++] = (char)('0' + (x % 10)); x /= 10; } while (x);
+    while (len) *o++ = (uint8_t)tmp[--len];
+    *o++ = '"';
+  }
+  return (uint64_t)(o - out);
+}
+
+// u32 -> '<dec>,<dec>' (bare, comma-joined). Worst case 11 B/elem.
+extern "C" uint64_t fn_sk_fmt_u32(const uint32_t* v, uint64_t n,
+                                  uint8_t* out) {
+  uint8_t* o = out;
+  char tmp[10];
+  for (uint64_t i = 0; i < n; i++) {
+    if (i) *o++ = ',';
+    uint32_t x = v[i];
+    int len = 0;
+    do { tmp[len++] = (char)('0' + (x % 10)); x /= 10; } while (x);
+    while (len) *o++ = (uint8_t)tmp[--len];
+  }
+  return (uint64_t)(o - out);
+}

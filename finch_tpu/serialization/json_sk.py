@@ -89,12 +89,39 @@ def _bulk_array_parts(sketch: Sketch):
     n = len(h)
     if n == 0:
         return '"hashes":[]', '"kmers":[]', '"counts":[]'
+    if isinstance(ks, np.ndarray) and ks.dtype.kind == "S":
+        # fixed-width store (native .sk scanner): emit the '","'-joined
+        # blob by writing separator columns into an (n, L+3) byte plane —
+        # no per-element Python objects
+        L = ks.dtype.itemsize
+        plane = ks.view(np.uint8).reshape(n, L)
+        if (plane == 0).any():
+            ks = ks.tolist()  # short (NUL-padded) element: general join
+        else:
+            if not _JSON_VERBATIM.match(plane.tobytes()):
+                return None
+            m = np.empty((n, L + 3), np.uint8)
+            m[:, :L] = plane
+            m[:, L] = 0x22    # '"'
+            m[:, L + 1] = 0x2C  # ','
+            m[:, L + 2] = 0x22
+            joined_kmers = m.tobytes()[:-3]
+            from finch_tpu import native
+            hashes = ('"hashes":[' + native.sk_fmt_qu64(h).decode("ascii")
+                      + ']')
+            kmers = '"kmers":["' + joined_kmers.decode("ascii") + '"]'
+            counts = ('"counts":['
+                      + native.sk_fmt_u32(c.astype(np.uint32))
+                      .decode("ascii") + "]")
+            return hashes, kmers, counts
     if not _JSON_VERBATIM.match(b"".join(ks)):
         return None  # needs real JSON escaping somewhere
     joined_kmers = b'","'.join(ks)
-    hashes = '"hashes":["' + '","'.join(h.astype('U20')) + '"]'
+    from finch_tpu import native
+    hashes = '"hashes":[' + native.sk_fmt_qu64(h).decode("ascii") + ']'
     kmers = '"kmers":["' + joined_kmers.decode("ascii") + '"]'
-    counts = ('"counts":[' + ",".join(c.astype(np.uint32).astype('U10'))
+    counts = ('"counts":['
+              + native.sk_fmt_u32(c.astype(np.uint32)).decode("ascii")
               + "]")
     return hashes, kmers, counts
 
@@ -170,40 +197,13 @@ def multisketch_params_from_json(doc: dict) -> SketchParams:
     raise FinchSchemaError(f"{hash_type} sketch type is not supported")
 
 
-# bulk-array segment validation (the bytes between '[' and the first
-# ']'): compact serde_json output only — anything else (whitespace,
-# escapes, surprises) falls back to json.loads. Byte-translate charset
-# checks run at memory speed where a regex scan was ~30% of the load.
-_NUMERIC_CHARS = b'0123456789",'
-_PRINTABLE = bytes(range(0x20, 0x7F))
-
-
-def _seg_ok(name: bytes, seg: bytes) -> bool:
-    if not seg:
-        return True  # empty array
-    if name == b"hashes":
-        # quoted-decimal shape only; anything else (e.g. unquoted ints,
-        # which json.loads accepted before this fast path existed) falls
-        # back to the general parser. Malformed remnants the charset
-        # check can't see are rejected by the numpy decimal parse with
-        # the same clean schema error json.loads would have raised.
-        return (seg[0:1] == b'"' and seg[-1:] == b'"'
-                and seg.translate(None, delete=_NUMERIC_CHARS) == b"")
-    if name == b"counts":
-        # bare decimals only; quoted counts fall back to json.loads
-        return (b'"' not in seg
-                and seg.translate(None, delete=_NUMERIC_CHARS) == b"")
-    # kmers: outer quotes, no escapes, no control/8-bit bytes, and every
-    # '"' accounted for by an element boundary or a '","' separator (so
-    # the split is exactly json.loads's element list)
-    return (seg[0:1] == b'"' and seg[-1:] == b'"'
-            and b"\\" not in seg
-            and seg.count(b'"') == 2 * (seg.count(b'","') + 1)
-            and seg.translate(None, delete=_PRINTABLE) == b"")
-
-
 _SEG_KEYS = [b'"hashes":[', b'"kmers":[', b'"counts":[']
 _PH_PREFIX = "__finch_seg:"
+
+
+class _FastMismatch(Exception):
+    """A cut segment wasn't compact serde_json output after all — not an
+    error; the caller re-reads the document through json.loads."""
 
 
 def _extract_segments(data: bytes):
@@ -211,17 +211,25 @@ def _extract_segments(data: bytes):
     a unique placeholder) so json.loads never tokenizes them.
 
     Sound because an unescaped '"' cannot occur inside any JSON string:
-    every find() hit is a real key. A segment that fails its shape regex
-    (whitespace, escapes, a ']' inside a string) aborts the fast path
-    entirely. Returns (residual bytes, {key: [segment bytes]}) or None.
+    every find() hit is a real key. Segment shapes are validated by the
+    native single-pass parsers at use time (`_FastMismatch` aborts to the
+    general path); a cut landing mid-string (a ']' inside a kmer) leaves
+    either an invalid residual (json.loads fails -> fallback) or a
+    malformed segment (native parse fails -> fallback).
+    Returns (residual bytes, {key: [segment bytes]}).
     """
     segs = {b"hashes": [], b"kmers": [], b"counts": []}
     res = bytearray()
     pos = 0
+    # per-key cached next occurrence: each key's find() resumes from its
+    # previous hit instead of rescanning from pos every iteration
+    nxt_at = {kb: -2 for kb in _SEG_KEYS}  # -2 = unknown, -1 = exhausted
     while True:
         nxt, which = -1, None
         for kb in _SEG_KEYS:
-            i = data.find(kb, pos)
+            i = nxt_at[kb]
+            if i != -1 and i < pos:
+                i = nxt_at[kb] = data.find(kb, pos)
             if i != -1 and (nxt == -1 or i < nxt):
                 nxt, which = i, kb
         if nxt == -1:
@@ -232,8 +240,6 @@ def _extract_segments(data: bytes):
             return None
         name = which[1:-3]
         seg = data[nxt + len(which): end]
-        if not _seg_ok(name, seg):
-            return None
         ph = f'["{_PH_PREFIX}{name.decode()}:{len(segs[name])}"]'
         segs[name].append(seg)
         res += data[pos:nxt] + which[:-1] + ph.encode()
@@ -251,23 +257,16 @@ def _segment_for(value, key: str, segs):
     return None
 
 
-def read_sk_file(data: bytes, path: str = "<bytes>") -> List[Sketch]:
-    """Parse a MultiSketch JSON document into Sketch objects
-    (json.rs:91-139, 220-238)."""
-    segs = None
-    fast = _extract_segments(data)
-    if fast is not None:
-        residual, segs = fast
-        try:
-            doc = json.loads(residual)
-        except json.JSONDecodeError:
-            fast, segs = None, None
-    if fast is None:
-        try:
-            doc = json.loads(data)
-        except json.JSONDecodeError:
-            raise FinchSchemaError(f"Error parsing {path!r}")
+def _build_sketches(doc: dict, segs, path: str) -> List[Sketch]:
+    """Sketch objects from a parsed document; when `segs` holds raw byte
+    segments cut out by the fast scanner, they parse through the native
+    single-pass scanners (finch_native.cpp fn_sk_*) instead of a
+    bytes.split + numpy decimal parse — one C pass, no per-element
+    Python objects. Raises _FastMismatch when a segment turns out not to
+    be compact serde_json output."""
     import numpy as np
+
+    from finch_tpu import native
 
     sketch_params = multisketch_params_from_json(doc)
     sketches = []
@@ -275,31 +274,37 @@ def read_sk_file(data: bytes, path: str = "<bytes>") -> List[Sketch]:
         hashes = js.get("hashes", [])
         kmers = js.get("kmers")
         counts = js.get("counts")
-        # bulk-parse the decimal strings through numpy and defer the
-        # KmerCount objects entirely: the distance/device paths only read
-        # the SoA views, so a DB load costs array parses, not ~10^7
-        # object constructions (LazyKmerCounts materializes on demand
-        # with identical missing-count / extra_count=count//2 semantics).
-        # When the fast scanner ran, the bulk fields are raw byte
-        # segments: numpy parses the split bytes directly and kmers skip
-        # the str decode/encode round-trip entirely.
+        # bulk-parse the decimal strings and defer the KmerCount objects
+        # entirely: the distance/device paths only read the SoA views,
+        # so a DB load costs array parses, not ~10^7 object
+        # constructions (LazyKmerCounts materializes on demand with
+        # identical missing-count / extra_count=count//2 semantics).
         try:
             seg = segs and _segment_for(hashes, "hashes", segs)
             if seg is not None:
-                h_arr = (np.array(seg[1:-1].split(b'","'), dtype=np.uint64)
-                         if seg else np.empty(0, dtype=np.uint64))
+                h_arr = (native.sk_parse_qu64(seg) if seg
+                         else np.empty(0, dtype=np.uint64))
+                if h_arr is None:
+                    raise _FastMismatch
             else:
                 h_arr = (np.array(hashes, dtype=np.uint64) if hashes
                          else np.empty(0, dtype=np.uint64))
             cseg = segs and _segment_for(counts, "counts", segs)
             if cseg is not None:
-                counts = (np.array(cseg.split(b","), dtype=np.int64)
-                          if cseg else np.empty(0, dtype=np.int64))
-            if counts is not None:
+                # native validates the u32 range in-pass (the reference's
+                # serde u32 deserialization errors on overflow,
+                # json.rs:122-129)
+                try:
+                    c_arr = (native.sk_parse_u32(cseg) if cseg
+                             else np.empty(0, dtype=np.uint32))
+                except OverflowError:
+                    raise FinchSchemaError(
+                        f"Error parsing {path!r}: count out of u32 range")
+                if c_arr is None:
+                    raise _FastMismatch
+                e_arr = c_arr // 2
+            elif counts is not None:
                 c_arr = np.array(counts, dtype=np.int64)
-                # the reference's serde u32 deserialization errors on
-                # overflow rather than wrapping (json.rs:122-129);
-                # LazyKmerCounts casts to uint32, so reject out-of-range
                 if len(c_arr) and (c_arr.min() < 0
                                    or c_arr.max() > 0xFFFFFFFF):
                     raise FinchSchemaError(
@@ -312,7 +317,23 @@ def read_sk_file(data: bytes, path: str = "<bytes>") -> List[Sketch]:
             raise FinchSchemaError(f"Error parsing {path!r}")
         kseg = segs and _segment_for(kmers, "kmers", segs)
         if kseg is not None:
-            k_list = kseg[1:-1].split(b'","') if kseg else []
+            if kseg:
+                scan = native.sk_scan_kseg(kseg)
+                if scan is None:
+                    raise _FastMismatch
+                n_k, fixed = scan
+                if fixed >= 1:
+                    # uniform element length (the universal case: every
+                    # kmer is k bases): one memcpy into an (n, L) plane
+                    # viewed as fixed-width bytes — zero per-element
+                    # Python objects until something materializes them
+                    buf = np.frombuffer(kseg + b"\x00", dtype=np.uint8)
+                    k_list = (buf.reshape(n_k, fixed + 3)[:, 1:fixed + 1]
+                              .copy().view(f"S{fixed}")[:, 0])
+                else:
+                    k_list = kseg[1:-1].split(b'","')
+            else:
+                k_list = []
         else:
             k_list = ([k.encode("utf-8") for k in kmers]
                       if kmers is not None else [b""] * len(h_arr))
@@ -329,3 +350,25 @@ def read_sk_file(data: bytes, path: str = "<bytes>") -> List[Sketch]:
             sketch_params=sketch_params,
         ))
     return sketches
+
+
+def read_sk_file(data: bytes, path: str = "<bytes>") -> List[Sketch]:
+    """Parse a MultiSketch JSON document into Sketch objects
+    (json.rs:91-139, 220-238)."""
+    fast = _extract_segments(data)
+    if fast is not None:
+        residual, segs = fast
+        try:
+            doc = json.loads(residual)
+        except json.JSONDecodeError:
+            fast = None
+        if fast is not None:
+            try:
+                return _build_sketches(doc, segs, path)
+            except _FastMismatch:
+                pass  # not compact serde output — general path below
+    try:
+        doc = json.loads(data)
+    except json.JSONDecodeError:
+        raise FinchSchemaError(f"Error parsing {path!r}")
+    return _build_sketches(doc, None, path)

@@ -632,3 +632,53 @@ def test_sk_reader_accepts_unquoted_hashes_and_quoted_counts():
     [s] = read_sk_file(doc)
     assert [kc.hash for kc in s.hashes] == [11, 22]
     assert [kc.count for kc in s.hashes] == [3, 4]
+
+
+def test_sk_native_codec_fast_paths():
+    """The native one-pass .sk segment parsers/formatters must (a) engage
+    on compact serde output (fixed-width kmer store, no per-element
+    objects), (b) materialize real bytes, (c) re-serialize
+    byte-identically, (d) reject out-of-range values with the schema
+    error, (e) fall back for variable-length kmers."""
+    import numpy as np
+
+    from finch_tpu.core.sketch import Sketch
+    from finch_tpu.errors import FinchSchemaError
+    from finch_tpu.serialization.json_sk import (multisketch_to_json_bytes,
+                                                 read_sk_file)
+
+    params = SketchParams.mash(kmers_to_sketch=3, final_size=3,
+                               no_strict=True)
+    s = Sketch(name="n", seq_length=9, num_valid_kmers=7, comment="",
+               hashes=[KmerCount(hash=5, kmer=b"ACG", count=2,
+                                 extra_count=1),
+                       KmerCount(hash=2**64 - 1, kmer=b"TTT",
+                                 count=2**32 - 1, extra_count=0)],
+               filter_params=FilterParams(), sketch_params=params)
+    data = multisketch_to_json_bytes([s])
+    [back] = read_sk_file(data)
+    store = back.hashes._soa[1]
+    assert isinstance(store, np.ndarray) and store.dtype == np.dtype("S3")
+    assert multisketch_to_json_bytes([back]) == data  # ndarray-store write
+    kc = back.hashes[0]
+    assert type(kc.kmer) is bytes and kc.kmer == b"ACG"
+    assert back.hashes[1].count == 2**32 - 1
+    assert back.kmer_list() == [b"ACG", b"TTT"]
+    assert all(type(km) is bytes for km in back.kmer_list())
+
+    # variable-length kmers: shape-valid, falls to the split path
+    var = data.replace(b'"kmers":["ACG","TTT"]', b'"kmers":["ACG","TT"]')
+    [vb] = read_sk_file(var)
+    assert vb.kmer_list() == [b"ACG", b"TT"]
+
+    # count above u32::MAX -> schema error (reference serde semantics)
+    bad_c = data.replace(b'"counts":[2,4294967295]',
+                         b'"counts":[2,4294967296]')
+    with pytest.raises(FinchSchemaError):
+        read_sk_file(bad_c)
+
+    # hash above u64::MAX -> schema error either path
+    bad_h = data.replace(b'"18446744073709551615"',
+                         b'"18446744073709551616"')
+    with pytest.raises(FinchSchemaError):
+        read_sk_file(bad_h)
