@@ -167,15 +167,10 @@ def _check_f32_gram_bound(k: int) -> None:
             "(parallel.sharded_dist) for sketches this large")
 
 
-def all_pairs_common(hashes_padded: np.ndarray, lengths: np.ndarray,
-                     run_block: int = 2048) -> np.ndarray:
-    """Exact |q ∩ r| for all sketch pairs. (N, N) int64; the diagonal is
-    the sketch sizes.
-
-    Device memory is bounded by the one global sort (~16 bytes per
-    element plus payload; 10k x 1k = 10M elements ~ 160 MB). DBs beyond
-    one chip's memory shard over a mesh via `sharded_common`.
-    """
+def _common_device(hashes_padded: np.ndarray, run_block: int):
+    """Dispatch the Gram computation; returns the (N, N) DEVICE array
+    (u16 when the padded sketch length allows, else f32) without
+    synchronizing — callers overlap the host fetch with later work."""
     n, k = hashes_padded.shape
     _check_f32_gram_bound(k)
     flat_h = jnp.asarray(hashes_padded.reshape(-1))
@@ -196,7 +191,20 @@ def all_pairs_common(hashes_padded: np.ndarray, lengths: np.ndarray,
         # transfer (at 10k sketches the f32 matrix is 400 MB; on the
         # tunneled dev endpoint the fetch, not the Gram, was the wall)
         common = jax.jit(lambda c: c.astype(jnp.uint16))(common)
-    common = np.asarray(common).astype(np.int64)
+    return common
+
+
+def all_pairs_common(hashes_padded: np.ndarray, lengths: np.ndarray,
+                     run_block: int = 2048) -> np.ndarray:
+    """Exact |q ∩ r| for all sketch pairs. (N, N) int64; the diagonal is
+    the sketch sizes.
+
+    Device memory is bounded by the one global sort (~16 bytes per
+    element plus payload; 10k x 1k = 10M elements ~ 160 MB). DBs beyond
+    one chip's memory shard over a mesh via `sharded_common`.
+    """
+    common = np.asarray(
+        _common_device(hashes_padded, run_block)).astype(np.int64)
     np.fill_diagonal(common, np.asarray(lengths, dtype=np.int64))
     return common
 
@@ -248,16 +256,34 @@ def all_pairs_stats(hashes_padded: np.ndarray, lengths: np.ndarray,
 
     n = hashes_padded.shape[0]
     lengths = np.asarray(lengths, dtype=np.int64)
-    common = all_pairs_common(hashes_padded, lengths, run_block=run_block)
+    # dispatch the Gram first and fetch it LAST: the (N, N) transfer then
+    # overlaps the whole below-counts phase (device queue for device_ij,
+    # host numpy otherwise) instead of serializing in front of it
+    common_dev = _common_device(hashes_padded, run_block)
 
     maxima = np.array(
         [hashes_padded[i, lengths[i] - 1] if lengths[i] else np.uint64(0)
          for i in range(n)], dtype=np.uint64)
     # below[q, r] = #{q <= max_r}
     if device_ij:
-        below = below_counts_device(hashes_padded, lengths, maxima)
+        # dispatch the below sort, THEN fetch common: the transfer rides
+        # alongside the below kernels still executing on device
+        order = np.argsort(maxima, kind="stable")
+        below_dev = _below_counts_device_sorted(
+            jnp.asarray(hashes_padded), jnp.asarray(maxima[order]))
+        common = np.asarray(common_dev).astype(np.int64)
+        inv = np.empty(n, dtype=np.int64)
+        inv[order] = np.arange(n)
+        below = np.asarray(below_dev).take(inv, axis=1)
     else:
-        below = _below_counts(hashes_padded, lengths, maxima, side="right")
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(1) as ex:
+            fut = ex.submit(np.asarray, common_dev)
+            below = _below_counts(hashes_padded, lengths, maxima,
+                                  side="right")
+            common = fut.result().astype(np.int64)
+    np.fill_diagonal(common, lengths)
     # m = min(max_q, max_r): i = #{q <= m} = min(below[q, r], len_q) with
     # the convention that when max_q <= max_r, #{q <= m} = len_q
     i_mat = np.minimum(below, lengths[:, None])
