@@ -23,9 +23,10 @@ def _random_db(rng, n_sketches, pool_size, max_k, with_empty=True):
     return sketches
 
 
-def _check_exact(sketches, scale):
+def _check_exact(sketches, scale, device_ij=False):
     H, L = pack_db(sketches)
-    common, i_m, j_m = all_pairs_stats(H, L, scale=scale)
+    common, i_m, j_m = all_pairs_stats(H, L, scale=scale,
+                                       device_ij=device_ij)
     n = len(sketches)
     for a in range(n):
         assert common[a, a] == len(sketches[a])
@@ -48,6 +49,15 @@ def test_all_pairs_exact_vs_serial(scale, overlap):
     pool = {"high": 500, "low": 20_000, "none": 10 ** 6}[overlap]
     sketches = _random_db(rng, 20, pool, 150)
     _check_exact(sketches, scale)
+
+
+@pytest.mark.parametrize("scale", [0.0, 0.01])
+def test_all_pairs_device_ij_branch(scale):
+    """device_ij=True routes the i/j phase through the on-device batched
+    row merge (dispatched before the Gram fetch); same exact results."""
+    rng = np.random.default_rng(hash(("dij", scale)) % (2 ** 31))
+    sketches = _random_db(rng, 15, 600, 120)
+    _check_exact(sketches, scale, device_ij=True)
 
 
 def test_all_pairs_duplicate_run_spanning_pages():
