@@ -111,6 +111,20 @@ def empty_state(capacity: int, spill: int | None = None):
     )
 
 
+def _scan(x, combine):
+    """Inclusive log-shift scan (hand-rolled: u64 jnp.cumsum/lax.cummax
+    lower to a tuple reduce-window whose scoped-VMEM scratch can exceed
+    the 16 MB limit at some shapes — see _dedup_truncate)."""
+    n = x.shape[0]
+    d = 1
+    while d < n:
+        shifted = jnp.concatenate(
+            [jnp.zeros((d,), dtype=x.dtype), x[:-d]])
+        x = combine(x, shifted)
+        d <<= 1
+    return x
+
+
 def _dedup_truncate(h, c, e, pk, out_len: int):
     """h sorted ascending (duplicate runs adjacent; pads have h=U64_MAX,c=0).
 
@@ -127,21 +141,6 @@ def _dedup_truncate(h, c, e, pk, out_len: int):
     unobservable difference in practice.
     """
     is_end = jnp.concatenate([h[1:] != h[:-1], jnp.ones((1,), bool)])
-
-    # hand-rolled log-shift scans: jnp.cumsum/lax.cummax on u64 lower to a
-    # tuple reduce-window whose scoped-VMEM scratch exceeds the 16 MB limit
-    # at some shapes (observed at capacity ~2k: "Ran out of memory in
-    # memory space vmem ... reduce-window"); elementwise shift+combine
-    # rounds measure the same speed and lower safely
-    def _scan(x, combine):
-        n = x.shape[0]
-        d = 1
-        while d < n:
-            shifted = jnp.concatenate(
-                [jnp.zeros((d,), dtype=x.dtype), x[:-d]])
-            x = combine(x, shifted)
-            d <<= 1
-        return x
 
     cs_c = _scan(c, jnp.add)
     cs_e = _scan(e, jnp.add)
@@ -217,6 +216,56 @@ def _flush(state4, spill, max_hash, *, k: int, seed: int):
     return _merge_candidates(state4, ch, cc, ce, cpk, max_hash)
 
 
+def _compact_spill(spill, *, k: int):
+    """Collapse duplicate composites across the WHOLE spill into summed
+    run weights (duplicate-burst pressure relief).
+
+    Sorts entries by their composite field (weights masked out of the
+    key), sums each run's decoded counts, and re-emits one weighted head
+    per distinct composite, compacted to the front with U64_MAX tails.
+    Skipping the state merge after a successful compaction is exact: the
+    spill still encodes the same multiset of (composite, count) mass, and
+    the admission threshold is merely frozen longer, which only admits a
+    superset (module docstring invariant).
+
+    Returns (compacted, n_real i32, ovf bool): ovf is set when any run's
+    total would not fit the weight field (the caller must fall back to a
+    real flush, which moves counts into the u64 count arrays).
+    """
+    s = _spill_weight_shift(k)
+    mask = jnp.uint64((1 << s) - 1)
+    real_in = spill != U64_MAX
+    key, ent = jax.lax.sort(
+        (jnp.where(real_in, spill & mask, U64_MAX), spill), num_keys=1)
+    real = key != U64_MAX
+    w = jnp.where(real, (ent >> jnp.uint64(s)) + jnp.uint64(1),
+                  jnp.uint64(0))
+    is_end = jnp.concatenate([key[1:] != key[:-1], jnp.ones((1,), bool)])
+    cs = _scan(w, jnp.add)
+    prev = jnp.concatenate(
+        [jnp.zeros((1,), jnp.uint64),
+         _scan(jnp.where(is_end, cs, 0), jnp.maximum)[:-1]])
+    total = cs - prev
+    keep = is_end & real
+    ovf = jnp.any(
+        keep & (((total - jnp.uint64(1)) >> jnp.uint64(64 - s))
+                != jnp.uint64(0)))
+    out = jnp.where(
+        keep, key + ((total - jnp.uint64(1)) << jnp.uint64(s)), U64_MAX)
+    # compact heads to the front (key is unique per run, so one sort key
+    # suffices; non-heads carry U64_MAX keys and sink to the tail)
+    _, out = jax.lax.sort((jnp.where(keep, key, U64_MAX), out), num_keys=1)
+    n_real = jnp.sum(keep, dtype=jnp.int32)
+    return out, n_real, ovf
+
+
+def _compact_worthwhile(k: int) -> bool:
+    """Static gate: spill compaction needs a weight field wide enough for
+    real duplicate-burst run totals (>= 12 bits, k <= 25)."""
+    s = _spill_weight_shift(k)
+    return bool(s) and (64 - s) >= 12
+
+
 def _aggregate_runs(s2, shift: int):
     """Collapse duplicate composites in a column-sorted slab into weighted
     run heads (tier-B duplicate-burst pre-aggregation).
@@ -251,17 +300,45 @@ def _aggregate_runs(s2, shift: int):
     return jax.lax.sort(out, dimension=0)
 
 
-def _append_page(carry, cand, mh_arg, *, k: int, seed: int):
+def _append_page(carry, cand, mh_arg, *, k: int, seed: int,
+                 compact: bool = False):
     """Append one candidate page to the spill, flushing first if needed.
 
     The flush cond's outputs are kept to the 4 state arrays + a scalar:
     conditional outputs are copied by XLA's buffer assignment, so routing
     the (larger) spill reset through an elementwise where instead of the
     cond measurably cuts per-step overhead.
+
+    compact=True (duplicate-burst tiers): on overflow, first try to
+    collapse duplicate composites across the spill into summed weights;
+    when that frees >= 25% of the spill (and no weight overflows), the
+    expensive state merge is skipped entirely — dup-heavy streams then
+    pay one 2-array sort per overflow instead of a full 5-array
+    state+spill merge, and overflows themselves become rarer because the
+    compacted entries keep absorbing later duplicates.
     """
     state4, spill, fill, below = carry
     need = cand.shape[0]
     sp = spill.shape[0]
+    must = fill[0] + need > sp
+
+    if compact and _compact_worthwhile(k):
+        def try_compact(spl):
+            out, n_real, ovf = _compact_spill(spl, k=k)
+            good = (~ovf) & (n_real + need <= sp - sp // 4)
+            return out, n_real, good
+
+        def no_compact(spl):
+            return spl, fill[0], jnp.zeros((), bool)
+
+        spl_c, n_c, good = jax.lax.cond(must, try_compact, no_compact,
+                                        spill)
+        use_flush = must & ~good
+        use_comp = must & good
+    else:
+        use_flush = must
+        use_comp = jnp.zeros((), bool)
+        spl_c, n_c = spill, fill[0]
 
     def do_flush(args):
         st4, spl = args
@@ -274,11 +351,14 @@ def _append_page(carry, cand, mh_arg, *, k: int, seed: int):
         # flush branch under shard_map
         return st4, (spl[0] - spl[0]).astype(jnp.uint32)
 
-    must = fill[0] + need > sp
-    state4, nb = jax.lax.cond(must, do_flush, no_flush, (state4, spill))
+    state4, nb = jax.lax.cond(use_flush, do_flush, no_flush,
+                              (state4, spill))
     below = jnp.maximum(below, nb)
-    spill = jnp.where(must, U64_MAX, spill)
-    fill = jnp.where(must, jnp.zeros_like(fill), fill)
+    spill = jnp.where(use_flush, U64_MAX,
+                      jnp.where(use_comp, spl_c, spill))
+    fill = jnp.where(use_flush, jnp.zeros_like(fill),
+                     jnp.where(use_comp, jnp.zeros_like(fill) + n_c,
+                               fill))
     spill = jax.lax.dynamic_update_slice(spill, cand, (fill[0],))
     return state4, spill, fill + need, below
 
@@ -343,13 +423,14 @@ def sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
              | batch_rc.astype(jnp.uint64)) + jnp.uint64(1),
             U64_MAX)
 
-    def stage2_pages(carry, flat_cands, aggregate=False):
+    def stage2_pages(carry, flat_cands, aggregate=False, compact=False):
         """Re-compact candidates through a (STAGE2_H, w2) axis-0 sort and
         append row pages while the next page's leading row has survivors.
 
         aggregate=True (tier B, duplicate-heavy batches) additionally
         collapses duplicate runs into weighted heads between the sort and
-        the paging, when k leaves enough weight bits for a full-row run."""
+        the paging, when k leaves enough weight bits for a full-row run.
+        compact=True arms spill compaction-on-overflow in the appends."""
         w2 = flat_cands.shape[0] // STAGE2_H
         # r2 must divide STAGE2_H or the tail rows would never be paged;
         # STAGE2_H is a power of two, so take the largest power of two
@@ -371,7 +452,8 @@ def sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
             cand = jax.lax.dynamic_slice(
                 s2, (p2 * r2, jnp.int32(0)), (r2, w2)).ravel()
             return (p2 + jnp.int32(1),
-                    _append_page(carry, cand, mh_arg, k=k, seed=seed))
+                    _append_page(carry, cand, mh_arg, k=k, seed=seed,
+                                 compact=compact))
 
         def iw_cond(c):
             p2, _ = c
@@ -383,7 +465,7 @@ def sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
             iw_cond, iw_body, (jnp.int32(0), carry))
         return carry
 
-    def run_two_stage(carry, comp=None, aggregate=False):
+    def run_two_stage(carry, comp=None, aggregate=False, compact=False):
         if comp is None:
             comp = xla_comp()
         w1 = b // STAGE1_H
@@ -394,7 +476,8 @@ def sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
             carry, p1 = carry_p1
             block = jax.lax.dynamic_slice(
                 s1, (p1 * STAGE1_ROWS, jnp.int32(0)), (STAGE1_ROWS, w1))
-            carry = stage2_pages(carry, block.ravel(), aggregate=aggregate)
+            carry = stage2_pages(carry, block.ravel(), aggregate=aggregate,
+                                 compact=compact)
             return carry, p1 + jnp.int32(1)
 
         def outer_cond(carry_p1):
@@ -472,7 +555,7 @@ def sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
                 ((vhi.astype(jnp.uint64) << jnp.uint64(32))
                  | vlo.astype(jnp.uint64)) + jnp.uint64(1),
                 U64_MAX)
-            return run_two_stage(c, comp=comp)
+            return run_two_stage(c, comp=comp, compact=True)
 
         # tier A: the in-kernel accumulator held every survivor — page its
         #   b/64-entry output (the common path).
@@ -495,15 +578,15 @@ def sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
         (state4, spill, fill, below) = jax.lax.switch(
             tier,
             (lambda c: stage2_pages(c, cand),
-             lambda c: stage2_pages(c, slab, aggregate=True),
+             lambda c: stage2_pages(c, slab, aggregate=True, compact=True),
              run_two_stage_kh),
             carry0)
     elif two_stage:
-        # xla_aggregate turns duplicate-run aggregation on for the pure-
-        # XLA path too (CPU test coverage of the weighted machinery; the
-        # kernel tiers use it unconditionally on TPU)
+        # xla_aggregate turns duplicate-run aggregation + spill compaction
+        # on for the pure-XLA path too (CPU test coverage of the weighted
+        # machinery; the kernel tiers use them unconditionally on TPU)
         (state4, spill, fill, below) = run_two_stage(
-            carry0, aggregate=xla_aggregate)
+            carry0, aggregate=xla_aggregate, compact=xla_aggregate)
     else:
         (state4, spill, fill, below) = run_small(carry0)
 

@@ -222,6 +222,73 @@ def test_weighted_spill_flush_exact():
         assert np.array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_compact_spill_preserves_count_mass():
+    """_compact_spill must re-encode the spill's exact (composite ->
+    total count) multiset as one weighted head per distinct composite,
+    compacted to the front in ascending composite order."""
+    import jax.numpy as jnp
+
+    from finch_tpu.ops import bottomk
+
+    k = 21
+    s = bottomk._spill_weight_shift(k)
+    rng = np.random.default_rng(5)
+    comp = np.unique(
+        rng.integers(1, 1 << (2 * k + 1), size=50, dtype=np.uint64))
+    entries = []
+    want = {}
+    for c in comp:
+        for _ in range(int(rng.integers(1, 6))):
+            w = int(rng.integers(1, 9))
+            entries.append(np.uint64(c) + (np.uint64(w - 1) << np.uint64(s)))
+            want[int(c)] = want.get(int(c), 0) + w
+    rng.shuffle(entries)
+    spill = np.full(512, U64_MAX, dtype=np.uint64)
+    # interspersed U64_MAX holes (page-padding pattern)
+    pos = rng.choice(512, size=len(entries), replace=False)
+    spill[pos] = entries
+
+    out, n_real, ovf = bottomk._compact_spill(jnp.asarray(spill), k=k)
+    out = np.asarray(out)
+    assert not bool(ovf)
+    assert int(n_real) == len(want)
+    got = out[: int(n_real)]
+    assert np.all(out[int(n_real):] == U64_MAX)
+    mask = np.uint64((1 << s) - 1)
+    got_comp = got & mask
+    got_w = (got >> np.uint64(s)).astype(np.int64) + 1
+    assert np.array_equal(got_comp, np.sort(np.array(sorted(want),
+                                                     dtype=np.uint64)))
+    assert {int(c): int(w) for c, w in zip(got_comp, got_w)} == want
+
+
+def test_compact_spill_weight_overflow_flag():
+    """Run totals that exceed the weight field must set ovf (the caller
+    then falls back to a real flush instead of losing count mass)."""
+    import jax.numpy as jnp
+
+    from finch_tpu.ops import bottomk
+
+    k = 21
+    s = bottomk._spill_weight_shift(k)
+    width = 64 - s
+    near_max = (1 << width) - 1  # stored weight cap (count near_max + 1)
+    spill = np.full(64, U64_MAX, dtype=np.uint64)
+    c = np.uint64(123457)
+    spill[0] = c + (np.uint64(near_max) << np.uint64(s))
+    spill[1] = c  # +1 more pushes the total past the field
+    out, n_real, ovf = bottomk._compact_spill(jnp.asarray(spill), k=k)
+    assert bool(ovf)
+    # a second composite with a fitting total stays exact
+    spill2 = np.full(64, U64_MAX, dtype=np.uint64)
+    spill2[0] = c + (np.uint64(near_max - 1) << np.uint64(s))
+    spill2[1] = c
+    out2, n2, ovf2 = bottomk._compact_spill(jnp.asarray(spill2), k=k)
+    assert not bool(ovf2)
+    assert int(n2) == 1
+    assert int(np.asarray(out2)[0] >> np.uint64(s)) == near_max
+
+
 def test_dup_burst_xla_aggregation_end_to_end():
     """Full sketch_step with duplicate-run aggregation (the tier-B/C
     machinery, forced onto the XLA path): a 64x-duplicate burst stream
@@ -252,6 +319,50 @@ def test_dup_burst_xla_aggregation_end_to_end():
     # counts really reflect the 64x duplication
     counts = np.asarray(f1[1])
     assert counts.max() >= 64
+
+
+def test_spill_compaction_end_to_end_extreme_duplication():
+    """A 4096x-duplicate stream (32 distinct composites per 128k batch,
+    cold cap so the admission threshold never tightens) overflows the
+    spill every step; compaction-on-overflow must absorb the bursts into
+    weighted heads WITHOUT state merges, stay bit-exact vs the plain
+    path, and leave a visibly compacted spill (few entries, run weights
+    far above what per-page tier-B aggregation alone could produce)."""
+    import jax.numpy as jnp
+
+    from finch_tpu.ops import bottomk
+
+    rng = np.random.default_rng(77)
+    cap, b, ndist = 2000, 1 << 17, 32
+    s_c = bottomk.empty_state(cap)
+    s_plain = bottomk.empty_state(cap)
+    base = rng.integers(0, 4 ** 21, size=ndist, dtype=np.uint64)
+    rcb = rng.integers(0, 2, size=ndist, dtype=np.uint8)
+    for step in range(4):
+        pk = np.tile(base, b // ndist)
+        rc = np.tile(rcb, b // ndist)
+        nv = jnp.uint32(b)
+        s_c, _ = bottomk.sketch_step(
+            s_c, jnp.asarray(pk), jnp.asarray(rc), nv, jnp.uint64(0),
+            k=21, seed=0, has_max_hash=False, xla_aggregate=True)
+        s_plain, _ = bottomk.sketch_step(
+            s_plain, jnp.asarray(pk), jnp.asarray(rc), nv, jnp.uint64(0),
+            k=21, seed=0, has_max_hash=False)
+    # engagement proof: compaction leaves heads whose run weights span
+    # MANY pages (per-page tier aggregation alone is bounded by the
+    # stage-2 row width, 63 here), plus at most the pages appended since
+    # the last compaction
+    spill = np.asarray(s_c[4])
+    real = spill[spill != U64_MAX]
+    shift = bottomk._spill_weight_shift(21)
+    assert len(real) <= ndist + (1 << 17) // 8
+    assert int((real >> np.uint64(shift)).max()) + 1 >= 4096
+    f1, _ = bottomk.flush_state(s_c, jnp.uint64(0), k=21, seed=0)
+    f2, _ = bottomk.flush_state(s_plain, jnp.uint64(0), k=21, seed=0)
+    for a, b2 in zip(f1[:4], f2[:4]):
+        assert np.array_equal(np.asarray(a), np.asarray(b2))
+    counts = np.asarray(f1[1])
+    assert counts.max() >= 4 * (b // ndist)
 
 
 def test_tier_switch_chunk_overflow_forces_tier_c(monkeypatch):
