@@ -30,6 +30,9 @@ def main() -> None:
     k = 21
     cap = 200000
     batch = 1 << 22
+    for a in sys.argv[1:]:
+        if a.startswith("--batch="):
+            batch = int(a.split("=", 1)[1])
     warm = 8
     n_small = 32
 

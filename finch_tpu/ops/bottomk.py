@@ -78,6 +78,12 @@ def auto_use_kernel() -> bool:
     except Exception:
         return False
 
+import os
+
+# spill compaction-on-overflow kill switch (A/B ablations / emergency
+# disable); exactness never depends on it
+SPILL_COMPACT = os.environ.get("FINCH_TPU_SPILL_COMPACT", "1") != "0"
+
 PAGE = 32768       # spill append granularity (entries)
 STAGE1_H = 32      # height of the first transposed sort
 STAGE1_ROWS = 4    # stage-1 rows re-compacted per stage-2 sort
@@ -322,7 +328,7 @@ def _append_page(carry, cand, mh_arg, *, k: int, seed: int,
     sp = spill.shape[0]
     must = fill[0] + need > sp
 
-    if compact and _compact_worthwhile(k):
+    if compact and SPILL_COMPACT and _compact_worthwhile(k):
         def try_compact(spl):
             out, n_real, ovf = _compact_spill(spl, k=k)
             good = (~ovf) & (n_real + need <= sp - sp // 4)
