@@ -365,6 +365,46 @@ def test_spill_compaction_end_to_end_extreme_duplication():
     assert counts.max() >= 4 * (b // ndist)
 
 
+def test_spill_compaction_scaled_path_exact_and_bound_valid():
+    """Scaled sketching (has_max_hash) under duplicate bursts: compaction
+    must keep the final state bit-exact AND the per-step below-bound an
+    upper bound of the true distinct-below-max_hash count (the grow
+    rail's exactness precondition)."""
+    import jax.numpy as jnp
+
+    from finch_tpu.ops import bottomk
+
+    rng = np.random.default_rng(31)
+    cap, b, ndist = 2000, 1 << 17, 512
+    max_hash = jnp.uint64(int(0.25 * 2 ** 64))
+    s_c = bottomk.empty_state(cap)
+    s_plain = bottomk.empty_state(cap)
+    base = rng.integers(0, 4 ** 21, size=ndist, dtype=np.uint64)
+    rcb = rng.integers(0, 2, size=ndist, dtype=np.uint8)
+    below_c = below_p = None
+    for step in range(4):
+        pk = np.tile(base, b // ndist)
+        rc = np.tile(rcb, b // ndist)
+        nv = jnp.uint32(b)
+        s_c, below_c = bottomk.sketch_step(
+            s_c, jnp.asarray(pk), jnp.asarray(rc), nv, max_hash,
+            k=21, seed=0, has_max_hash=True, xla_aggregate=True)
+        s_plain, below_p = bottomk.sketch_step(
+            s_plain, jnp.asarray(pk), jnp.asarray(rc), nv, max_hash,
+            k=21, seed=0, has_max_hash=True)
+    f1, _ = bottomk.flush_state(s_c, max_hash, k=21, seed=0)
+    f2, _ = bottomk.flush_state(s_plain, max_hash, k=21, seed=0)
+    for a, b2 in zip(f1[:4], f2[:4]):
+        assert np.array_equal(np.asarray(a), np.asarray(b2))
+    # true distinct below-threshold count from the flushed state
+    h, c = np.asarray(f1[0]), np.asarray(f1[1])
+    true_below = int(((h <= np.uint64(int(max_hash))) & (c > 0)).sum())
+    assert int(below_c) >= true_below
+    # compaction only tightens the bound (fewer spill entries), never
+    # below the truth
+    assert int(below_c) <= int(below_p)
+
+
 def test_tier_switch_chunk_overflow_forces_tier_c(monkeypatch):
     """covf=1 with aovf=0 (a chunk column overflowed while the
     accumulator never did) must route to tier C: both cand and slab are
