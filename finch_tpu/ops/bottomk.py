@@ -49,6 +49,7 @@ State layout (fixed capacity C, spill capacity S; hashes sorted ascending):
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -77,8 +78,6 @@ def auto_use_kernel() -> bool:
         return _jax.devices()[0].platform in ("tpu", "axon")
     except Exception:
         return False
-
-import os
 
 # spill compaction-on-overflow kill switch (A/B ablations / emergency
 # disable); exactness never depends on it

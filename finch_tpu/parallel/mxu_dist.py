@@ -268,13 +268,10 @@ def all_pairs_stats(hashes_padded: np.ndarray, lengths: np.ndarray,
     if device_ij:
         # dispatch the below sort, THEN fetch common: the transfer rides
         # alongside the below kernels still executing on device
-        order = np.argsort(maxima, kind="stable")
-        below_dev = _below_counts_device_sorted(
-            jnp.asarray(hashes_padded), jnp.asarray(maxima[order]))
+        below_dev, finalize = _below_counts_device_dispatch(
+            hashes_padded, maxima)
         common = np.asarray(common_dev).astype(np.int64)
-        inv = np.empty(n, dtype=np.int64)
-        inv[order] = np.arange(n)
-        below = np.asarray(below_dev).take(inv, axis=1)
+        below = finalize(np.asarray(below_dev))
     else:
         from concurrent.futures import ThreadPoolExecutor
 
@@ -449,13 +446,26 @@ def _below_counts_device_sorted(hashes_padded: jnp.ndarray,
     return counts[:, :m]
 
 
+def _below_counts_device_dispatch(hashes_padded: np.ndarray,
+                                  thresholds: np.ndarray):
+    """Dispatch phase of below_counts_device: returns (device_counts,
+    finalize) where finalize(np_counts) un-permutes the columns. Split so
+    callers can overlap other transfers with the device execution."""
+    order = np.argsort(thresholds, kind="stable")
+    counts_dev = _below_counts_device_sorted(
+        jnp.asarray(hashes_padded), jnp.asarray(thresholds[order]))
+    inv = np.empty(len(thresholds), dtype=np.int64)
+    inv[order] = np.arange(len(thresholds))
+
+    def finalize(counts: np.ndarray) -> np.ndarray:
+        return counts.take(inv, axis=1)
+
+    return counts_dev, finalize
+
+
 def below_counts_device(hashes_padded: np.ndarray, lengths: np.ndarray,
                         thresholds: np.ndarray) -> np.ndarray:
     """Device variant of _below_counts(side='right'); same contract."""
-    order = np.argsort(thresholds, kind="stable")
-    sm = thresholds[order]
-    counts = np.asarray(_below_counts_device_sorted(
-        jnp.asarray(hashes_padded), jnp.asarray(sm)))
-    inv = np.empty(len(thresholds), dtype=np.int64)
-    inv[order] = np.arange(len(thresholds))
-    return counts.take(inv, axis=1)
+    counts_dev, finalize = _below_counts_device_dispatch(
+        hashes_padded, thresholds)
+    return finalize(np.asarray(counts_dev))

@@ -263,16 +263,7 @@ def test_full_workflow_chain(tmp_path):
         paths.append(str(p))
 
     def run(*args):
-        env = dict(os.environ)
-        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-        # pin the host platform: this chain tests CLI workflow logic,
-        # and an unpinned subprocess would contend for (or hang on) the
-        # shared dev TPU endpoint
-        env["FINCH_TPU_PLATFORM"] = "cpu"
-        r = subprocess.run([sys.executable, "-m", "finch_tpu.cli", *args],
-                           capture_output=True, text=True, env=env)
-        assert r.returncode == 0, r.stderr
-        return r.stdout
+        return finch(*args).stdout.decode()
 
     # sketch in place -> .sk next to inputs
     run("sketch", "--n-hashes", "50", "--no-strict", *paths)
