@@ -48,6 +48,29 @@ from finch_tpu.models.params import U64_MAX
 
 __all__ = ["all_pairs_stats", "all_pairs_common", "pack_db"]
 
+# E-block Gram matmul precision: bf16 inputs + f32 accumulation (exact
+# for per-pair counts < 2^24) by default; FINCH_TPU_GRAM_INT8=1 switches
+# to int8 inputs + int32 accumulation (v5e's int8 MXU path is 2x the
+# bf16 rate, and the accumulation is exact for any count < 2^31)
+import os
+
+GRAM_INT8 = os.environ.get("FINCH_TPU_GRAM_INT8", "0") == "1"
+
+
+def _gram_dot(E, RB: int, n_sketches: int, common):
+    """One page's Gram term: common += E[:RB-1, :n]^T @ E[:RB-1, :n]."""
+    if GRAM_INT8:
+        Eb = E[: RB - 1, :n_sketches].astype(jnp.int8)
+        return common + jnp.dot(Eb.T, Eb,
+                                preferred_element_type=jnp.int32)
+    Eb = E[: RB - 1, :n_sketches].astype(jnp.bfloat16)
+    return common + jnp.dot(Eb.T, Eb, preferred_element_type=jnp.float32)
+
+
+def _gram_zero(n_sketches: int):
+    return jnp.zeros((n_sketches, n_sketches),
+                     jnp.int32 if GRAM_INT8 else jnp.float32)
+
 
 def pack_db(sketch_hashes: List[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
     """Stack variable-length sorted hash arrays into (N, K) u64 with
@@ -146,24 +169,23 @@ def _gram_accumulate(rid: jnp.ndarray, sid: jnp.ndarray, n_shared,
         cols = jnp.where(ok, sl_s, jnp.int32(n_sketches))
         E = jnp.zeros((RB, n_sketches + 1), jnp.float32)
         E = E.at[rows, cols].add(1.0)
-        Eb = E[: RB - 1, :n_sketches].astype(jnp.bfloat16)
-        common = common + jnp.dot(Eb.T, Eb,
-                                  preferred_element_type=jnp.float32)
+        common = _gram_dot(E, RB, n_sketches, common)
         return common, e0 + jnp.maximum(n_valid, 1)
 
-    common0 = jnp.zeros((n_sketches, n_sketches), jnp.float32)
-    common, _ = lax.while_loop(cond, body, (common0, jnp.int32(0)))
+    common, _ = lax.while_loop(cond, body,
+                               (_gram_zero(n_sketches), jnp.int32(0)))
     return common
 
 
 def _check_f32_gram_bound(k: int) -> None:
     """The f32 Gram accumulation is exact only while per-pair common counts
     stay below 2^24; a pair's common count is bounded by the padded sketch
-    length, so enforce the precondition instead of assuming it."""
-    if k >= 1 << 24:
+    length, so enforce the precondition instead of assuming it. (The int8
+    path accumulates in int32: exact to 2^31.)"""
+    if k >= (1 << 31 if GRAM_INT8 else 1 << 24):
         raise ValueError(
-            "Gram distance engine: sketch length >= 2^24 exceeds the "
-            "exact-f32 accumulation bound; use the tile engine "
+            "Gram distance engine: sketch length exceeds the exact "
+            "accumulation bound; use the tile engine "
             "(parallel.sharded_dist) for sketches this large")
 
 
@@ -402,13 +424,10 @@ def _gram_range(rid, sid, n_shared, lo, hi, n_sketches: int, page: int):
         cols = jnp.where(ok, sl_s, jnp.int32(n_sketches))
         E = jnp.zeros((RB, n_sketches + 1), jnp.float32)
         E = E.at[rows, cols].add(1.0)
-        Eb = E[: RB - 1, :n_sketches].astype(jnp.bfloat16)
-        common = common + jnp.dot(Eb.T, Eb,
-                                  preferred_element_type=jnp.float32)
+        common = _gram_dot(E, RB, n_sketches, common)
         return common, e0 + jnp.maximum(n_valid, 1)
 
-    common0 = jnp.zeros((n_sketches, n_sketches), jnp.float32)
-    common, _ = lax.while_loop(cond, body, (common0, lo))
+    common, _ = lax.while_loop(cond, body, (_gram_zero(n_sketches), lo))
     return common
 
 
