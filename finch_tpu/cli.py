@@ -87,6 +87,11 @@ def build_cli() -> argparse.ArgumentParser:
         prog="finch",
         description="Tool for working with genomic MinHash sketches "
                     "(TPU-native finch)")
+    # clap's crate_version! surface (/root/reference/cli/src/cli.rs:9)
+    from finch_tpu import __version__
+
+    ap.add_argument("--version", action="version",
+                    version=f"%(prog)s {__version__}")
     sub = ap.add_subparsers(dest="subcommand")
 
     sp = sub.add_parser("sketch", help="Create sketches from FASTA/Q file(s)")
