@@ -35,6 +35,7 @@ over a mesh axis with a single psum at the end (`sharded_common`).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import List, Optional, Tuple
 
@@ -52,8 +53,6 @@ __all__ = ["all_pairs_stats", "all_pairs_common", "pack_db"]
 # for per-pair counts < 2^24) by default; FINCH_TPU_GRAM_INT8=1 switches
 # to int8 inputs + int32 accumulation (v5e's int8 MXU path is 2x the
 # bf16 rate, and the accumulation is exact for any count < 2^31)
-import os
-
 GRAM_INT8 = os.environ.get("FINCH_TPU_GRAM_INT8", "0") == "1"
 
 
