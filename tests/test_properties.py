@@ -117,3 +117,54 @@ def test_fused_pipeline_fuzz_vs_oracle(tmp_path):
                (ref.seq_length, ref.num_valid_kmers)
 
     check()
+
+
+def test_compact_spill_fuzz_vs_dict_model():
+    """_compact_spill vs a Python dict model: arbitrary weighted entries,
+    duplicates, and interspersed U64_MAX holes must compact to exactly
+    the model's (composite -> total count) map (ops/bottomk.py)."""
+    import jax.numpy as jnp
+
+    from finch_tpu.ops import bottomk
+
+    U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(1, 25),                 # k (weight field >= 12 bits)
+        st.lists(st.tuples(st.integers(0, 200), st.integers(1, 300)),
+                 min_size=0, max_size=120),  # (composite index, count)
+        st.randoms(use_true_random=False),
+    )
+    def check(k, items, rng):
+        s = bottomk._spill_weight_shift(k)
+        if not bottomk._compact_worthwhile(k):
+            return
+        size = 256
+        spill = np.full(size, U64_MAX, dtype=np.uint64)
+        model = {}
+        slots = list(range(size))
+        rng.shuffle(slots)
+        it = iter(slots)
+        for ci, count in items[: size]:
+            # composite+1 encoding, bounded by the 2k+2-bit field
+            comp = np.uint64(ci % ((1 << (2 * k + 1)) - 1) + 1)
+            spill[next(it)] = comp + (np.uint64(count - 1) << np.uint64(s))
+            model[int(comp)] = model.get(int(comp), 0) + count
+        out, n_real, ovf = bottomk._compact_spill(jnp.asarray(spill), k=k)
+        out = np.asarray(out)
+        width = 64 - s
+        expect_ovf = any(v - 1 >= (1 << width) for v in model.values())
+        assert bool(ovf) == expect_ovf
+        if expect_ovf:
+            return
+        assert int(n_real) == len(model)
+        got = out[: int(n_real)]
+        assert np.all(out[int(n_real):] == U64_MAX)
+        mask = np.uint64((1 << s) - 1)
+        got_map = {int(g & mask): int(g >> np.uint64(s)) + 1 for g in got}
+        assert got_map == model
+        # ascending composite order at the front
+        assert np.array_equal(got & mask, np.sort(got & mask))
+
+    check()
