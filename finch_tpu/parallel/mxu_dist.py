@@ -56,9 +56,9 @@ __all__ = ["all_pairs_stats", "all_pairs_common", "pack_db"]
 GRAM_INT8 = os.environ.get("FINCH_TPU_GRAM_INT8", "0") == "1"
 
 
-def _gram_dot(E, RB: int, n_sketches: int, common):
+def _gram_dot(E, RB: int, n_sketches: int, common, int8: bool):
     """One page's Gram term: common += E[:RB-1, :n]^T @ E[:RB-1, :n]."""
-    if GRAM_INT8:
+    if int8:
         Eb = E[: RB - 1, :n_sketches].astype(jnp.int8)
         return common + jnp.dot(Eb.T, Eb,
                                 preferred_element_type=jnp.int32)
@@ -66,9 +66,9 @@ def _gram_dot(E, RB: int, n_sketches: int, common):
     return common + jnp.dot(Eb.T, Eb, preferred_element_type=jnp.float32)
 
 
-def _gram_zero(n_sketches: int):
+def _gram_zero(n_sketches: int, int8: bool):
     return jnp.zeros((n_sketches, n_sketches),
-                     jnp.int32 if GRAM_INT8 else jnp.float32)
+                     jnp.int32 if int8 else jnp.float32)
 
 
 def pack_db(sketch_hashes: List[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
@@ -119,9 +119,9 @@ def _shared_incidences(hashes: jnp.ndarray, sid: jnp.ndarray, cap: int):
 # phase 2: E-block Gram accumulation on the MXU
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("n_sketches", "page"))
+@partial(jax.jit, static_argnames=("n_sketches", "page", "int8"))
 def _gram_accumulate(rid: jnp.ndarray, sid: jnp.ndarray, n_shared,
-                     n_sketches: int, page: int):
+                     n_sketches: int, page: int, int8: bool = False):
     """common (N, N) f32 = sum over element pages of E_page^T @ E_page.
 
     Pages are cut at run boundaries (a page never splits a run, so every
@@ -168,11 +168,11 @@ def _gram_accumulate(rid: jnp.ndarray, sid: jnp.ndarray, n_shared,
         cols = jnp.where(ok, sl_s, jnp.int32(n_sketches))
         E = jnp.zeros((RB, n_sketches + 1), jnp.float32)
         E = E.at[rows, cols].add(1.0)
-        common = _gram_dot(E, RB, n_sketches, common)
+        common = _gram_dot(E, RB, n_sketches, common, int8)
         return common, e0 + jnp.maximum(n_valid, 1)
 
     common, _ = lax.while_loop(cond, body,
-                               (_gram_zero(n_sketches), jnp.int32(0)))
+                               (_gram_zero(n_sketches, int8), jnp.int32(0)))
     return common
 
 
@@ -205,7 +205,7 @@ def _common_device(hashes_padded: np.ndarray, run_block: int):
     while page < max(run_block, n + 1):
         page *= 2
     page = min(page, max(int(cap), 2))
-    common = _gram_accumulate(rid, sid, n_shared, n, page)
+    common = _gram_accumulate(rid, sid, n_shared, n, page, int8=GRAM_INT8)
     if k < (1 << 16):
         # counts are bounded by the padded sketch length, so fetch the
         # (N, N) matrix as u16 — exact, and half/quarter the host
@@ -372,7 +372,8 @@ def sharded_common(hashes_padded: np.ndarray, lengths: np.ndarray,
                        jnp.searchsorted(
                            rid_m, rid_m[jnp.minimum(hi_nom, cap - 1)])
                        .astype(jnp.int32))
-        local = _gram_range(rid_m, sid, n_shared, lo, hi, n, page)
+        local = _gram_range(rid_m, sid, n_shared, lo, hi, n, page,
+                            int8=GRAM_INT8)
         return lax.psum(local, axis)
 
     fn = shard_map(device_fn, mesh=mesh,
@@ -383,8 +384,9 @@ def sharded_common(hashes_padded: np.ndarray, lengths: np.ndarray,
     return common
 
 
-@partial(jax.jit, static_argnames=("n_sketches", "page"))
-def _gram_range(rid, sid, n_shared, lo, hi, n_sketches: int, page: int):
+@partial(jax.jit, static_argnames=("n_sketches", "page", "int8"))
+def _gram_range(rid, sid, n_shared, lo, hi, n_sketches: int, page: int,
+                int8: bool = False):
     """_gram_accumulate restricted to elements [lo, hi)."""
     # pin the loop-carry dtype (x64 mode promotes mixed scalar arithmetic)
     lo = lo.astype(jnp.int32)
@@ -423,10 +425,10 @@ def _gram_range(rid, sid, n_shared, lo, hi, n_sketches: int, page: int):
         cols = jnp.where(ok, sl_s, jnp.int32(n_sketches))
         E = jnp.zeros((RB, n_sketches + 1), jnp.float32)
         E = E.at[rows, cols].add(1.0)
-        common = _gram_dot(E, RB, n_sketches, common)
+        common = _gram_dot(E, RB, n_sketches, common, int8)
         return common, e0 + jnp.maximum(n_valid, 1)
 
-    common, _ = lax.while_loop(cond, body, (_gram_zero(n_sketches), lo))
+    common, _ = lax.while_loop(cond, body, (_gram_zero(n_sketches, int8), lo))
     return common
 
 
