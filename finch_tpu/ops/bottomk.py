@@ -327,7 +327,7 @@ def _append_page(carry, cand, mh_arg, *, k: int, seed: int,
     sp = spill.shape[0]
     must = fill[0] + need > sp
 
-    if compact and SPILL_COMPACT and _compact_worthwhile(k):
+    if compact and _compact_worthwhile(k):
         def try_compact(spl):
             out, n_real, ovf = _compact_spill(spl, k=k)
             good = (~ovf) & (n_real + need <= sp - sp // 4)
@@ -368,13 +368,31 @@ def _append_page(carry, cand, mh_arg, *, k: int, seed: int,
     return state4, spill, fill + need, below
 
 
-@partial(jax.jit, static_argnames=("k", "seed", "has_max_hash",
-                                   "use_kernel", "composite",
-                                   "xla_aggregate"))
 def sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
                 *, k: int, seed: int, has_max_hash: bool,
                 use_kernel: bool = False, composite: bool = False,
-                xla_aggregate: bool = False):
+                xla_aggregate: bool = False,
+                spill_compact: bool | None = None):
+    """Fold one batch into the sketch state (see _sketch_step).
+
+    Thin wrapper resolving spill_compact's default OUTSIDE the jit cache
+    so the module-level SPILL_COMPACT flag is always part of the key."""
+    if spill_compact is None:
+        spill_compact = SPILL_COMPACT
+    return _sketch_step(
+        state, batch_packed, batch_rc, nvalid, max_hash, k=k, seed=seed,
+        has_max_hash=has_max_hash, use_kernel=use_kernel,
+        composite=composite, xla_aggregate=xla_aggregate,
+        spill_compact=spill_compact)
+
+
+@partial(jax.jit, static_argnames=("k", "seed", "has_max_hash",
+                                   "use_kernel", "composite",
+                                   "xla_aggregate", "spill_compact"))
+def _sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
+                 *, k: int, seed: int, has_max_hash: bool,
+                 use_kernel: bool = False, composite: bool = False,
+                 xla_aggregate: bool = False, spill_compact: bool = True):
     """Fold one batch of packed canonical k-mers into the sketch state.
 
     Exact for any input (cold state, survivor bursts, duplicates) via
@@ -560,7 +578,7 @@ def sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
                 ((vhi.astype(jnp.uint64) << jnp.uint64(32))
                  | vlo.astype(jnp.uint64)) + jnp.uint64(1),
                 U64_MAX)
-            return run_two_stage(c, comp=comp, compact=True)
+            return run_two_stage(c, comp=comp, compact=spill_compact)
 
         # tier A: the in-kernel accumulator held every survivor — page its
         #   b/64-entry output (the common path).
@@ -583,7 +601,8 @@ def sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
         (state4, spill, fill, below) = jax.lax.switch(
             tier,
             (lambda c: stage2_pages(c, cand),
-             lambda c: stage2_pages(c, slab, aggregate=True, compact=True),
+             lambda c: stage2_pages(c, slab, aggregate=True,
+                                    compact=spill_compact),
              run_two_stage_kh),
             carry0)
     elif two_stage:
@@ -591,7 +610,8 @@ def sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
         # on for the pure-XLA path too (CPU test coverage of the weighted
         # machinery; the kernel tiers use them unconditionally on TPU)
         (state4, spill, fill, below) = run_two_stage(
-            carry0, aggregate=xla_aggregate, compact=xla_aggregate)
+            carry0, aggregate=xla_aggregate,
+            compact=xla_aggregate and spill_compact)
     else:
         (state4, spill, fill, below) = run_small(carry0)
 
