@@ -186,6 +186,14 @@ class Sketch:
             labels = None
             if callable(ks):
                 ks, labels = ks()
+                # cache the decode back into the SoA so every later
+                # consumer (re-serialization, _force) pays it once —
+                # the deferred decoder is a full per-element pointer
+                # walk at DB scale
+                pair = (ks, labels)
+                new_soa = list(soa)
+                new_soa[1] = lambda: pair
+                self.hashes._soa = tuple(new_soa)
             if labels is not None and all(lb is None for lb in labels):
                 labels = None
             if isinstance(ks, np.ndarray):

@@ -1279,11 +1279,20 @@ static void aligner_main(Pipeline* p) {
       if (from < p->chunk_target) from = p->chunk_target;
       size_t cut = fasta_midcut(buf, from);
       if (cut == 0) break;
+      // sequence bytes begin after the header line when this buffer
+      // still starts with one (possible only at buf[0]:
+      // fasta_boundary == 0 rules out any later "\n>" header). The
+      // back-scan must never cross into header bytes — ACGT letters in
+      // a long header would otherwise be primed as sequence and the
+      // continuation chunk would emit k-mers spanning header+sequence
+      // that the serial parser never produces.
+      size_t seq_start = 0;
+      if (buf[0] == '>') seq_start = (size_t)(fn - buf.data()) + 1;
       // overlap back-scan: k-1 valid bases; an invalid byte stops it (no
       // k-mer window spans an invalid base)
       size_t ov = cut;
       uint32_t nbases = 0;
-      while (ov > 0 && nbases < p->k - 1) {
+      while (ov > seq_start && nbases < p->k - 1) {
         uint8_t cls = BYTE_CLASS[(uint8_t)buf[ov - 1]];
         if (cls == 5) break;
         if (cls < 4) nbases++;

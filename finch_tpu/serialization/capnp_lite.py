@@ -76,10 +76,10 @@ def read_pointer(segments, seg_id: int, word_ofs: int, _depth: int = 0):
     kind = ptr & 3
     if kind == 2:  # far pointer
         # a single far pointer's landing pad must be an ordinary object
-        # pointer; chains of far pointers are malformed, and without this
-        # bound a crafted self-referential far pointer recurses forever
-        if _depth >= 2:
-            raise CapnpError("far pointer chain too deep")
+        # pointer: a second far hop (incl. a crafted self-referential
+        # pointer) is malformed per the spec and rejected outright
+        if _depth >= 1:
+            raise CapnpError("far pointer landing pad is itself far")
         double = (ptr >> 2) & 1
         pad_ofs = (ptr >> 3) & ((1 << 29) - 1)
         target_seg = ptr >> 32
@@ -268,11 +268,19 @@ class ListReader:
             "<" + fmt, seg, self.word_ofs * WORD + index * size)[0]
 
     def primitives_array(self, dtype):
-        """Zero-copy numpy view of a primitive list."""
+        """Zero-copy numpy view of a primitive list.
+
+        The wire-declared element size must match the requested dtype: a
+        malformed pointer declaring a narrower element class would
+        otherwise pass __init__'s (smaller) bounds check and surface as
+        a raw numpy buffer error here instead of a clean CapnpError."""
         import numpy as np
 
+        dt = np.dtype(dtype)
+        if self.elem_size > 5 or ELEM_BITS[self.elem_size] != dt.itemsize * 8:
+            raise CapnpError("capnp primitive list element size mismatch")
         seg = self.segments[self.seg_id]
-        return np.frombuffer(seg, dtype=dtype, count=self.count,
+        return np.frombuffer(seg, dtype=dt, count=self.count,
                              offset=self.word_ofs * WORD)
 
     def get_struct(self, index: int) -> StructReader:
@@ -380,26 +388,23 @@ class MessageBuilder:
     def new_composite_list(self, ptr_ofs: int, count: int, data_words: int,
                            ptr_words: int) -> List["StructBuilder"]:
         stride = data_words + ptr_words
-        total = count * stride
-        target = self.alloc(1 + total)
-        # list pointer: element size 7, "count" = total words
-        self.write_list_ptr(ptr_ofs, target, 7, total)
-        # tag word: struct-ptr-shaped with element count in offset slot
-        self._put_word(target, ((count & ((1 << 30) - 1)) << 2)
-                       | (data_words << 32) | (ptr_words << 48))
-        return [StructBuilder(self, target + 1 + i * stride, data_words,
+        elem0 = self.init_composite_region(ptr_ofs, count, data_words,
+                                           ptr_words)
+        return [StructBuilder(self, elem0 + i * stride, data_words,
                               ptr_words) for i in range(count)]
 
     def init_composite_region(self, ptr_ofs: int, count: int,
                               data_words: int, ptr_words: int) -> int:
         """Allocate a composite list and return the word offset of its
-        first element (past the tag word) for bulk numpy fills — the
-        layout is identical to new_composite_list, without building
-        per-element StructBuilder objects."""
+        first element (past the tag word); new_composite_list wraps the
+        elements in StructBuilders, bulk numpy fills use the offset
+        directly."""
         stride = data_words + ptr_words
         total = count * stride
         target = self.alloc(1 + total)
+        # list pointer: element size 7, "count" = total words
         self.write_list_ptr(ptr_ofs, target, 7, total)
+        # tag word: struct-ptr-shaped with element count in offset slot
         self._put_word(target, ((count & ((1 << 30) - 1)) << 2)
                        | (data_words << 32) | (ptr_words << 48))
         return target + 1

@@ -111,7 +111,16 @@ def _write_kmercounts_bulk(msg: MessageBuilder, b, sketch: Sketch) -> bool:
     # per-element writer's sequence of zero-word allocations)
     targets = kdata0 + idx * kw
     ptr_pos = elem0 + idx * stride + SZ_KMERCOUNT[0]
-    off = (targets - (ptr_pos + 1)).astype(np.uint64)
+    off_signed = targets - (ptr_pos + 1)
+    # same fail-loudly invariant as MessageBuilder._check_offset: a
+    # pointer offset is a signed 30-bit word count, and silently masking
+    # an overflow would emit structurally-valid-but-wrong pointers
+    if n and not (int(off_signed.min()) >= -(1 << 29)
+                  and int(off_signed.max()) < (1 << 29)):
+        from finch_tpu.serialization.capnp_lite import CapnpError
+
+        raise CapnpError("message exceeds single-segment pointer range")
+    off = off_signed.astype(np.uint64)
     ptr_words = (np.uint64(1) | ((off & np.uint64((1 << 30) - 1)) << np.uint64(2))
                  | np.uint64((2 << 32) | (klen << 35)))
 

@@ -249,11 +249,25 @@ def _extract_segments(data: bytes):
 
 def _segment_for(value, key: str, segs):
     """The extracted segment a placeholder value points at, or None when
-    the field held a genuine (non-placeholder) value."""
+    the field held a genuine (non-placeholder) value.
+
+    A placeholder-shaped value the scanner did NOT insert (a document
+    whose field literally holds '__finch_seg:...' text, written in a
+    non-compact form the scanner skipped) must not be trusted: indices
+    are consumed strictly in document order, so any forged or duplicate
+    reference misses the expected next index and aborts to the general
+    json.loads path, which preserves the literal value."""
     if (isinstance(value, list) and len(value) == 1
             and isinstance(value[0], str)
             and value[0].startswith(_PH_PREFIX + key + ":")):
-        return segs[key.encode()][int(value[0].rsplit(":", 1)[1])]
+        kb = key.encode()
+        tail = value[0].rsplit(":", 1)[1]
+        expect = segs.setdefault("consumed", {}).get(kb, 0)
+        if (not tail.isdigit() or int(tail) != expect
+                or expect >= len(segs[kb])):
+            raise _FastMismatch
+        segs["consumed"][kb] = expect + 1
+        return segs[kb][expect]
     return None
 
 

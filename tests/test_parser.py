@@ -401,6 +401,22 @@ def test_within_record_split_mixed_records():
     _stream_equal(fa, fa)
 
 
+def test_within_record_split_giant_header_not_primed_as_sequence():
+    """Regression: a header line longer than the chunk target, made of
+    ACGT letters, followed by a first sequence line shorter than k-1
+    bases. The overlap back-scan must stop at the start of sequence data
+    — walking into the header would prime header bytes as sequence and
+    emit k-mers spanning header+sequence that the serial parser never
+    produces."""
+    rng = np.random.default_rng(80)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    header = b">" + b"A" * 70_000 + b"\n"
+    big = bases[rng.integers(0, 4, size=200_000)].tobytes()
+    lines = [big[j:j + 70] for j in range(0, len(big), 70)]
+    fa = header + b"ACGTACGTAC\n" + b"\n".join(lines) + b"\n"
+    _stream_equal(fa, fa, k=31)
+
+
 def test_within_record_split_fused_sketch_pipeline():
     """The fused parse+fold pipeline (sketch mode) over a giant record
     equals the serial NumpyEngine result exactly."""
