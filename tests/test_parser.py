@@ -484,3 +484,45 @@ def test_parallel_reader_sparse_whitespace_run_no_livelock():
     p_all = np.sort(np.concatenate(p_pk)) if p_pk else np.empty(0)
     assert par.totals == s_tot
     assert np.array_equal(s_all, p_all)
+
+
+def test_parallel_vs_serial_adversarial_shapes():
+    """Bounded differential fuzz: pathological document shapes (giant
+    ACGT-rich headers, unwrapped megabase lines, blank-line runs, tiny
+    records, missing trailing newline) across chunk sizes, k, and
+    thread counts — the parallel pipeline must match the serial parser
+    byte-for-byte (stream, totals, format)."""
+    import random
+
+    rng = random.Random(4321)
+
+    def rand_doc():
+        parts = []
+        fastq = rng.random() < 0.4
+        for _ in range(rng.randint(1, 4)):
+            hl = rng.choice([1, 30, 5000, 40000])
+            header = "".join(rng.choice("ACGTacgt xyz_|")
+                             for _ in range(hl))
+            seqlen = rng.choice([0, 3, 50, 5000, 120000])
+            seq = "".join(rng.choice("ACGTNacgtn") for _ in range(seqlen))
+            if rng.random() < 0.5 and seqlen:
+                w = rng.choice([1, 7, 61, 100000])
+                seq = "\n".join(seq[j:j + w]
+                                for j in range(0, len(seq), w))
+            if fastq:
+                flat = seq.replace("\n", "")
+                parts.append("@%s\n%s\n+\n%s\n"
+                             % (header, flat, "F" * len(flat)))
+            else:
+                parts.append(">%s\n%s\n" % (header, seq))
+                if rng.random() < 0.3:
+                    parts.append("\n" * rng.randint(1, 3))
+        doc = "".join(parts)
+        if rng.random() < 0.2 and doc.endswith("\n"):
+            doc = doc[:-1]
+        return doc.encode()
+
+    for _ in range(25):
+        doc = rand_doc()
+        k = rng.choice([3, 21, 31])
+        _stream_equal(doc, doc, k=k, threads=rng.choice([2, 4]))
