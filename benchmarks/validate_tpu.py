@@ -115,6 +115,18 @@ def main() -> None:
     print("Gram distance engine: device == serial on "
           f"{len(db)}x{len(db)} pairs")
 
+    # int8-MXU Gram path: same pairs, int8 inputs + int32 accumulation
+    from finch_tpu.parallel import mxu_dist as _mx
+
+    _mx.GRAM_INT8 = True
+    try:
+        common8, i8, j8 = all_pairs_stats(H, L, scale=0.0)
+    finally:
+        _mx.GRAM_INT8 = False
+    assert (np.array_equal(common8, common) and np.array_equal(i8, i_m)
+            and np.array_equal(j8, j_m)), "DIVERGENCE: int8 Gram path"
+    print("int8 Gram path: matches bf16/f32 on hardware")
+
     # composite-plane kernel input == classic input (bit-identical)
     import jax.numpy as jnp
 
