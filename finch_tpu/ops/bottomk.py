@@ -19,10 +19,11 @@ lanes and beat same-size last-axis sorts ~2x):
     pass the filter, so counts stay exact. The hash fuses into this pass
     and is never materialized; survivors carry a 43-bit composite payload
     (packed_kmer << 1 | is_rc) + 1, pre-filtered lanes u64::MAX.
-  * survivor extraction = transposed-sort compaction: sort the (64, B/64)
-    composite along axis 0 (survivors float to the top rows of each
-    column), then re-compact a 4-row slab through a second (256, ...)
-    axis-0 sort, and append fixed ~32k-entry row-slabs to a spill buffer.
+  * survivor extraction = transposed-sort compaction: sort the
+    (STAGE1_H=32, B/32) composite along axis 0 (survivors float to the
+    top rows of each column), then re-compact STAGE1_ROWS=4-row slabs
+    through a second (STAGE2_H=256, ...) axis-0 sort, and append fixed
+    ~32k-entry row-slabs to a spill buffer.
     Slabs page downward inside lax.while_loops until the next row is
     all-MAX, so any survivor density (cold start, bursts, duplicate-heavy
     batches) is covered exactly by the same code path.

@@ -21,10 +21,10 @@ the kernel:
      held more than ROWS_OUT survivors in one chunk OR the accumulator
      half-cleaner ever dropped a real survivor.
 
-The accumulator is the in-kernel stage-2 compaction: the kernel's output is
-b/(COLH*ACC_H/ROWS_OUT... precisely ACC_H*CHUNK_W entries per call (b/64 at
-the 4M batch) instead of b/4, so the caller's XLA survivor sort disappears
-and the paging loop runs 1-2 trips. On overflow (cold state or extreme
+The accumulator is the in-kernel stage-2 compaction: the kernel's candidate
+output is a FIXED ACC_H*CHUNK_W entries per call (64k = b/64 at the 4M
+batch) instead of the per-chunk slab's b/4, so the caller's XLA survivor
+sort disappears and the paging loop runs 1-2 trips. On overflow (cold state or extreme
 survivor density) the caller falls back to the exact XLA sort path, so the
 kernel never has to handle unbounded densities. Selection beats an in-VMEM
 sort here: 8 rounds of a 5-step pair-min tree is ~80 u32 ops/lane versus
@@ -38,7 +38,7 @@ the equivalent structure. All in-kernel constants are explicit jnp.uint32/
 int32 — with jax_enable_x64 on, bare Python ints weak-type to 64-bit and
 Mosaic rejects mixed-width arithmetic.
 
-Requires k <= 29 (the composite << 5 row-index encoding needs 2k+7 <= 64
+Requires k <= 28 (the composite << 5 row-index encoding needs 2k+7 <= 64
 bits); callers gate on that.
 """
 
@@ -84,6 +84,17 @@ CHUNK_W = 2048  # lanes per chunk = COLH * CHUNK_W
 # Poisson mean is far below ACC_H after a handful of batches. Must be a
 # power of two >= 2*ROWS_OUT and a multiple of 8 (output tiling).
 ACC_H = int(os.environ.get("FINCH_TPU_KERNEL_ACCH", "32"))
+
+# the merge networks and DMA tilings assume these shapes; a bad env
+# override must fail at import, not corrupt results silently (e.g. a
+# non-power-of-two ACC_H breaks the bitonic stages' i^d tile locality
+# and survivors can vanish without setting any overflow flag)
+if COLH < 8 or (COLH & (COLH - 1)) or COLH % 8:
+    raise ValueError("FINCH_TPU_KERNEL_COLH must be a power of two >= 8")
+if (ACC_H < 2 * ROWS_OUT or (ACC_H & (ACC_H - 1)) or ACC_H % 8):
+    raise ValueError(
+        "FINCH_TPU_KERNEL_ACCH must be a power of two >= 2*ROWS_OUT "
+        "and a multiple of 8")
 
 
 def _pair_min_rows(ehi, elo):
@@ -312,8 +323,15 @@ def _extract_kernel(k: int, seed: int, nchunks: int,
 
 
 def supports(k: int, b: int) -> bool:
-    """Kernel preconditions: row-index encoding fits, chunking divides."""
-    return (HAVE_PALLAS and 2 * k + 1 + ROW_BITS <= 64
+    """Kernel preconditions: row-index encoding fits, chunking divides.
+
+    The bound is STRICT (2k+1+ROW_BITS < 64, k <= 28 at COLH=32): with
+    zero headroom the maximal composite ((packed all-ones, is_rc=1) in
+    the last row) encodes to exactly u64::MAX and aliases the
+    empty-lane sentinel — a silent survivor drop with no overflow flag.
+    Canonicalization happens to make that lane unreachable today, but
+    the kernel must not rely on an upstream invariant it cannot see."""
+    return (HAVE_PALLAS and 2 * k + 1 + ROW_BITS < 64
             and b % (COLH * CHUNK_W) == 0 and b >= COLH * CHUNK_W)
 
 
