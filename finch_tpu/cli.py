@@ -439,34 +439,44 @@ def _calc_distances_batched(queries, refs,
 
 
 def _calc_distances_gram(sketches, scale: float, k: float,
-                         max_distance: float) -> List[SketchDistance]:
+                         max_distance: float) -> "_GramDistanceRows":
     """All-vs-all via the Gram-matrix engine; output order matches the
     serial ref-major/query-minor loop (main.rs:315-334).
 
-    The float math runs vectorized in f64 over the whole (N, N) stat
-    matrices and only the surviving (mash <= max_distance, non-self)
-    pairs materialize as SketchDistance objects — at 10k sketches the
-    per-pair Python loop alone would cost minutes."""
+    The mash <= max_distance cut is monotone in jaccard, so candidate
+    pairs are selected with a single conservative f32 compare over the
+    integer stat matrices (common >= total * j_min, widened by a margin)
+    and the exact f64 formulas run only on the gathered candidates — no
+    (N, N) f64 temporaries and no per-pair Python until emission, which
+    stays lazy (`_GramDistanceRows`) so the CLI can serialize straight
+    from the arrays."""
+    import math
+
     import numpy as np
 
-    from finch_tpu.core.distance import SketchDistance
     from finch_tpu.parallel.mxu_dist import all_pairs_stats, pack_db
 
     H, L = pack_db([s.hash_array() for s in sketches])
     common, i_m, j_m = all_pairs_stats(H, L, scale=scale)
-    c = common.astype(np.float64)
-    j64 = j_m.astype(np.float64)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        containment = np.where(j_m == 0, 0.0, c / j64)
-        total = i_m - common + j_m
-        jaccard = np.where(total == 0, 1.0,
-                           c / np.maximum(total, 1).astype(np.float64))
-        mash = np.where(
-            jaccard == 0.0, np.inf,
-            -1.0 * np.log((2.0 * jaccard) / (1.0 + jaccard)) / k)
-    mash = np.minimum(1.0, np.maximum(0.0, mash))
+    n = len(sketches)
 
-    keep = mash <= max_distance
+    if max_distance >= 1.0:
+        # every pair passes the clamp (mash = min(1, ...) <= 1)
+        keep = np.ones((n, n), dtype=bool)
+    else:
+        # mash <= d  <=>  jaccard >= j_min = e^{-kd} / (2 - e^{-kd});
+        # test common >= total * j_min in f32 with a relative margin so
+        # no exact survivor is ever dropped (false positives are removed
+        # by the exact f64 recheck below). jaccard == 0 pairs have
+        # mash = 1 > d and fall out naturally; total == 0 (both empty)
+        # means jaccard = 1, mash = 0 and 0 >= -eps keeps it.
+        e = math.exp(-k * max_distance)
+        j_min = e / (2.0 - e)
+        total32 = (i_m - common + j_m).astype(np.int32)
+        keep = (common.astype(np.float32)
+                >= total32.astype(np.float32)
+                * np.float32(j_min * (1.0 - 1e-4)) - np.float32(1e-3))
+        del total32
     np.fill_diagonal(keep, False)
     # struct-equality self-skip like main.rs:322 (duplicate sketches at
     # different indices are skipped too) — only probe name-equal pairs
@@ -480,19 +490,107 @@ def _calc_distances_gram(sketches, scale: float, k: float,
                 if a != b and keep[a, b] and sketches[a] == sketches[b]:
                     keep[a, b] = False
 
-    distances = []
-    # ref-major, query-minor order (transpose of C order on [iq, jr])
-    for jr, iq in np.argwhere(keep.T):
-        distances.append(SketchDistance(
-            containment=float(containment[iq, jr]),
-            jaccard=float(jaccard[iq, jr]),
-            mash_distance=float(mash[iq, jr]),
-            common_hashes=int(common[iq, jr]),
-            total_hashes=int(total[iq, jr]),
-            query=names[iq],
-            reference=names[jr],
-        ))
-    return distances
+    # ref-major, query-minor order (row-major walk of keep.T)
+    jr_arr, iq_arr = np.nonzero(keep.T)
+    cc = common[iq_arr, jr_arr]
+    jj = j_m[iq_arr, jr_arr]
+    total = i_m[iq_arr, jr_arr] - cc + jj
+    c64 = cc.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        containment = np.where(jj == 0, 0.0, c64 / jj.astype(np.float64))
+        jaccard = np.where(total == 0, 1.0,
+                           c64 / np.maximum(total, 1).astype(np.float64))
+        mash = np.where(
+            jaccard == 0.0, np.inf,
+            -1.0 * np.log((2.0 * jaccard) / (1.0 + jaccard)) / k)
+    mash = np.minimum(1.0, np.maximum(0.0, mash))
+
+    exact = mash <= max_distance
+    return _GramDistanceRows(
+        containment=containment[exact], jaccard=jaccard[exact],
+        mash=mash[exact], common=cc[exact], total=total[exact],
+        iq=iq_arr[exact], jr=jr_arr[exact], names=names)
+
+
+class _GramDistanceRows:
+    """Sequence of SketchDistance rows backed by the Gram engine's
+    candidate arrays. Iteration/indexing materialize SketchDistance
+    objects (library compatibility); `to_json_bytes` serializes straight
+    from the arrays, formatting each distinct (common, i-side, total)
+    stat triple once — on a clustered 10k-sketch DB that is thousands of
+    `format_f64` calls instead of millions."""
+
+    def __init__(self, containment, jaccard, mash, common, total, iq, jr,
+                 names):
+        self._containment = containment
+        self._jaccard = jaccard
+        self._mash = mash
+        self._common = common
+        self._total = total
+        self._iq = iq
+        self._jr = jr
+        self._names = names
+
+    def __len__(self) -> int:
+        return len(self._common)
+
+    def _row(self, ix: int) -> SketchDistance:
+        return SketchDistance(
+            containment=float(self._containment[ix]),
+            jaccard=float(self._jaccard[ix]),
+            mash_distance=float(self._mash[ix]),
+            common_hashes=int(self._common[ix]),
+            total_hashes=int(self._total[ix]),
+            query=self._names[self._iq[ix]],
+            reference=self._names[self._jr[ix]],
+        )
+
+    def __getitem__(self, ix):
+        if isinstance(ix, slice):
+            return [self._row(i) for i in range(*ix.indices(len(self)))]
+        return self._row(ix)
+
+    def __iter__(self):
+        return (self._row(i) for i in range(len(self)))
+
+    def to_json_bytes(self) -> bytes:
+        import json as _json
+
+        import numpy as np
+
+        m = len(self)
+        if m == 0:
+            return b"[]"
+        # the three floats are functions of (common, jaccard-denominator
+        # total, containment-denominator j) — and j = common/containment
+        # only enters through containment, so key on (common, total,
+        # containment) bit patterns; format each distinct triple once
+        trip = np.empty((m, 3), dtype=np.int64)
+        trip[:, 0] = self._common
+        trip[:, 1] = self._total
+        trip[:, 2] = self._containment.view(np.int64)
+        uniq, inv = np.unique(trip, axis=0, return_inverse=True)
+        first = np.zeros(len(uniq), dtype=np.int64)
+        first[inv[::-1]] = np.arange(m - 1, -1, -1)
+        segs = []
+        for u in range(len(uniq)):
+            ix = int(first[u])
+            segs.append(
+                '{"containment":' + format_f64(float(self._containment[ix]))
+                + ',"jaccard":' + format_f64(float(self._jaccard[ix]))
+                + ',"mashDistance":' + format_f64(float(self._mash[ix]))
+                + ',"commonHashes":' + str(int(self._common[ix]))
+                + ',"totalHashes":' + str(int(self._total[ix]))
+                + ',"query":')
+        name_json = [_json.dumps(nm, ensure_ascii=False,
+                                 separators=(",", ":"))
+                     for nm in self._names]
+        iq = self._iq
+        jr = self._jr
+        rows = [segs[t] + name_json[iq[r]] + ',"reference":'
+                + name_json[jr[r]] + "}"
+                for r, t in enumerate(inv)]
+        return ("[" + ",".join(rows) + "]").encode("utf-8")
 
 
 def output_to(write_fn, output: Optional[str], extension: str) -> None:
@@ -511,11 +609,14 @@ def output_to(write_fn, output: Optional[str], extension: str) -> None:
             write_fn(f)
 
 
-def _dist_json_bytes(distances: List[SketchDistance]) -> bytes:
+def _dist_json_bytes(distances) -> bytes:
     """serde_json-compatible compact JSON for Vec<SketchDistance>
-    (mod.rs:31-43 field names/order)."""
+    (mod.rs:31-43 field names/order). Gram-engine results serialize
+    straight from their arrays."""
     import json as _json
 
+    if isinstance(distances, _GramDistanceRows):
+        return distances.to_json_bytes()
     parts = []
     for d in distances:
         obj = (
