@@ -175,9 +175,14 @@ def _occurred(args, key: str) -> bool:
 
 
 def get_kmer_length(args) -> int:
-    """default 21, or 4 when sketch-type none (cli.rs:161-167)."""
+    """default 21, or 4 when sketch-type none (cli.rs:161-167). The
+    reference parses k as u8 (main.rs:207,257), so > 255 fails the same
+    way a non-integer does."""
     if args.kmer_length is not None:
-        return _get_int(args, "kmer_length", 21)
+        v = _get_int(args, "kmer_length", 21)
+        if v > 255:
+            raise CliError("kmer-length must be a positive integer")
+        return v
     return 4 if args.sketch_type == "none" else 21
 
 

@@ -38,6 +38,13 @@ def _choose_reader(source, k: int, canonical: bool, batch_size: int,
 
     from finch_tpu.native import StreamingParallelReader
 
+    if k > 63:
+        # arbitrary-k path (the reference hashes byte windows of any k,
+        # mash.rs:73-79): run-mode parser + host byte-window canonicalizer
+        from finch_tpu.native import XWideReader
+
+        return XWideReader(source, k=k, canonical=canonical,
+                           batch_size=batch_size)
     if k > 31:
         # wide k-mers (32..=63) stream through the serial reader's
         # two-word path; the parallel pipeline's chunk layout is

@@ -40,16 +40,28 @@ def _retention_keep(params: SketchParams, h: np.ndarray) -> int:
     return len(h)
 
 
+def _is_bytes_payload(pk) -> bool:
+    """xwide (k >= 64) payloads are (n, k) uint8 ASCII matrices rather
+    than packed code words."""
+    return (isinstance(pk, np.ndarray) and pk.ndim == 2
+            and pk.dtype == np.uint8)
+
+
 def _finalize_arrays(params: SketchParams, h, c, e, pk):
     """Retention rule + u32 count saturation on arrays (the object-free
     fast path; kmers stay packed until the final survivors are known).
-    `pk` is one u64 code array for k <= 31, or a (plo, phi) tuple of word
-    arrays on the wide (k > 31) path."""
+    `pk` is one u64 code array for k <= 31, a (plo, phi) tuple of word
+    arrays on the wide (32..=63) path, or an (n, k) uint8 ASCII matrix on
+    the xwide (k >= 64) path."""
     h = np.asarray(h, dtype=np.uint64)
     c = np.asarray(c, dtype=np.uint64)
     e = np.asarray(e, dtype=np.uint64)
-    pks = ([np.asarray(w, dtype=np.uint64) for w in pk]
-           if isinstance(pk, tuple) else [np.asarray(pk, dtype=np.uint64)])
+    if isinstance(pk, tuple):
+        pks = [np.asarray(w, dtype=np.uint64) for w in pk]
+    elif _is_bytes_payload(pk):
+        pks = [pk]
+    else:
+        pks = [np.asarray(pk, dtype=np.uint64)]
     real = c > 0
     h, c, e = h[real], c[real], e[real]
     pks = [w[real] for w in pks]
@@ -69,6 +81,8 @@ def kmercounts_from_arrays(params: SketchParams, h, c, e, pk):
         kmer_bytes = unpack_kmers_w(
             np.asarray(pk[0], dtype=np.uint64),
             np.asarray(pk[1], dtype=np.uint64), params.k)
+    elif _is_bytes_payload(pk):
+        kmer_bytes = pk  # already ASCII windows
     else:
         kmer_bytes = unpack_kmers(np.asarray(pk, dtype=np.uint64), params.k)
     return [
@@ -96,10 +110,15 @@ class NumpyEngine:
         self.h = np.empty(0, dtype=np.uint64)
         self.c = np.empty(0, dtype=np.uint64)
         self.e = np.empty(0, dtype=np.uint64)
-        # payload: one word for k <= 31, (lo, hi) words for wide k
-        self.wide = params.k > 31
-        nw = 2 if self.wide else 1
-        self.pks = [np.empty(0, dtype=np.uint64) for _ in range(nw)]
+        # payload: one word for k <= 31, (lo, hi) words for 32 <= k <= 63,
+        # an (n, k) ASCII byte matrix for k >= 64 (xwide)
+        self.xwide = params.k > 63
+        self.wide = 31 < params.k <= 63
+        if self.xwide:
+            self.pks = [np.empty((0, params.k), dtype=np.uint8)]
+        else:
+            nw = 2 if self.wide else 1
+            self.pks = [np.empty(0, dtype=np.uint64) for _ in range(nw)]
 
     @property
     def pk(self):
@@ -124,7 +143,13 @@ class NumpyEngine:
         return int(U64_MAX)
 
     def update(self, packed, rc: np.ndarray) -> None:
-        if self.wide:
+        if self.xwide:
+            from finch_tpu.native import murmur3_batch
+
+            kb = np.ascontiguousarray(packed, dtype=np.uint8)
+            hashes = murmur3_batch(kb, self.params.hash_seed)
+            pk_words = [kb]
+        elif self.wide:
             from finch_tpu.native import murmur3_packed_w
 
             plo, phi = packed
@@ -212,8 +237,11 @@ class NativeEngine:
         if self._fold is None:
             w = self._wide_impl
             keep = _retention_keep(self.params, w.h)
+            pk_s = [x[:keep] for x in w.pks]
+            # payload form matches NumpyEngine.pk: word tuple for wide,
+            # single (n, k) byte matrix for xwide
             return (w.h[:keep], w.c[:keep], w.e[:keep],
-                    tuple(x[:keep] for x in w.pks))
+                    tuple(pk_s) if len(pk_s) == 2 else pk_s[0])
         h, c, e, pk = self._fold.result()
         keep = _retention_keep(self.params, h)
         return h[:keep], c[:keep], e[:keep], pk[:keep]
@@ -233,6 +261,15 @@ class JaxEngine:
 
         from finch_tpu.ops import bottomk
 
+        self._xwide_impl = None
+        if params.k > 63:
+            # xwide payloads are per-kmer byte windows, not the fixed-word
+            # codes the device state carries; fold on the host (the
+            # reference's own path for any k is a serial host loop)
+            self._xwide_impl = NumpyEngine(params)
+            self.params = params
+            self.wants_composite = False
+            return
         self._jnp = jnp
         self._bottomk = bottomk
         self.params = params
@@ -277,6 +314,9 @@ class JaxEngine:
         return jnp.asarray(out)
 
     def update(self, packed, rc: np.ndarray) -> None:
+        if self._xwide_impl is not None:
+            self._xwide_impl.update(packed, rc)
+            return
         if self.wide:
             plo, phi = packed
             n = len(plo)
@@ -360,9 +400,13 @@ class JaxEngine:
                 np.asarray(spk))
 
     def finalize(self):
+        if self._xwide_impl is not None:
+            return self._xwide_impl.finalize()
         return _finalize(self.params, *self._host_state())
 
     def finalize_arrays(self):
+        if self._xwide_impl is not None:
+            return self._xwide_impl.finalize_arrays()
         return _finalize_arrays(self.params, *self._host_state())
 
 

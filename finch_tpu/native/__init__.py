@@ -100,6 +100,10 @@ def lib() -> ctypes.CDLL:
                     ctypes.c_void_p, u32, ctypes.c_int, u64,
                     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                     p(u64), p(ctypes.c_int)]
+                l.fn_next_batch_r.restype = ctypes.c_int
+                l.fn_next_batch_r.argtypes = [
+                    ctypes.c_void_p, u32, u64,
+                    ctypes.c_void_p, ctypes.c_void_p, p(u64), p(ctypes.c_int)]
                 l.fn_murmur3_packed_w.argtypes = [
                     ctypes.c_void_p, ctypes.c_void_p, u64, u32, u64,
                     ctypes.c_void_p]
@@ -278,6 +282,18 @@ def unpack_kmers_w(plo: np.ndarray, phi: np.ndarray, k: int) -> np.ndarray:
     return out
 
 
+def murmur3_batch(keys: np.ndarray, seed: int = 0) -> np.ndarray:
+    """MurmurHash3_x64_128 low words for a (n, keylen) u8 key matrix —
+    the reference's hash over raw canonical k-mer bytes for arbitrary k
+    (hashing.rs:10-12)."""
+    keys = np.ascontiguousarray(keys, dtype=np.uint8)
+    n, keylen = keys.shape
+    out = np.empty(n, dtype=np.uint64)
+    lib().fn_murmur3_batch(keys.ctypes.data, n, keylen, seed,
+                           out.ctypes.data)
+    return out
+
+
 FORMAT_UNKNOWN, FORMAT_FASTA, FORMAT_FASTQ = 0, 1, 2
 
 
@@ -371,6 +387,151 @@ class KmerReader:
         lib().fn_totals(self._h, ctypes.byref(bases), ctypes.byref(kmers),
                         ctypes.byref(recs))
         return bases.value, kmers.value, recs.value
+
+    def close(self):
+        if getattr(self, "_h", None):
+            self._lib.fn_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        self.close()
+
+
+class XWideReader:
+    """Canonical k-mer batches for arbitrary k >= 64 (the reference hashes
+    byte windows of any k: mash.rs:73-79, hashing.rs:9-12 — needletail's
+    canonical_kmers has no k bound).
+
+    The native parser runs in run-mode (fn_next_batch_r): forward 31-mer
+    codes with a run-start flag, from which every maximal valid-base run
+    is reconstructed exactly — the first window of a run decodes to 31
+    base codes, each later window appends its low 2 bits. Arbitrary-k
+    windows then slide over the run with a k-1 carry across batches
+    (memory stays O(batch + k), not O(record)), canonicalization is a
+    vectorized lexicographic compare against the reverse complement
+    (ties take the rc branch, needletail semantics), and hashing runs
+    over the canonical ASCII bytes in native code (fn_murmur3_batch).
+
+    Yields ((n, k) uint8 ASCII canonical windows, is_rc uint8[n]);
+    ``totals`` carries (seq_length, num_valid_kmers@k, n_records).
+    """
+
+    K1 = 31  # substrate word size (codes per emitted u64)
+
+    _ASCII = np.array([65, 67, 71, 84], dtype=np.uint8)  # ACGT
+
+    def __init__(self, path_or_bytes, k: int, canonical: bool = True,
+                 batch_size: int = 1 << 22):
+        if k < 64:
+            raise NativeError("XWideReader handles k >= 64; narrower k "
+                              "uses the packed readers")
+        if not canonical:
+            raise NativeError(
+                "forward-strand (AllCounts) extraction is 2-bit-table "
+                "bound (k <= 31), matching the reference's bit_kmers")
+        self.k = int(k)
+        # parser-batch cap sized so the (windows, k) byte matrix stays
+        # modest regardless of k
+        self._cap = max(1 << 12, min(int(batch_size), (8 << 20) // self.k))
+        self._err = ctypes.c_int(0)
+        self._keepalive = None
+        self._lib = lib()
+        if isinstance(path_or_bytes, (bytes, bytearray, memoryview)):
+            data = bytes(path_or_bytes)
+            self._keepalive = data
+            self._h = lib().fn_open_bytes(data, len(data),
+                                          ctypes.byref(self._err))
+        else:
+            self._h = lib().fn_open_path(
+                str(path_or_bytes).encode(), ctypes.byref(self._err))
+        if not self._h:
+            raise NativeError(_ERRORS.get(self._err.value, "open failed"))
+        self.format = FORMAT_UNKNOWN
+        self._done = False
+        self._kmer_total = 0
+
+    def _decode31(self, code: int) -> np.ndarray:
+        shifts = np.arange(self.K1 - 1, -1, -1, dtype=np.uint64) * 2
+        return ((np.uint64(code) >> shifts) & np.uint64(3)).astype(np.uint8)
+
+    def _windows(self, blocks):
+        """Canonicalize a list of (m_i, k) code-window blocks and yield
+        one (ASCII windows, is_rc) batch."""
+        win = np.vstack(blocks)
+        rcw = (np.uint8(3) - win)[:, ::-1]
+        diff = win != rcw
+        has = diff.any(axis=1)
+        fd = diff.argmax(axis=1)
+        rows = np.arange(len(win))
+        fwd_lt = np.zeros(len(win), dtype=bool)
+        fwd_lt[has] = win[rows[has], fd[has]] < rcw[rows[has], fd[has]]
+        is_rc = ~fwd_lt  # ties -> rc branch (needletail canonical_kmers)
+        canon = np.where(is_rc[:, None], rcw, win)
+        self._kmer_total += len(win)
+        return self._ASCII[canon], is_rc.astype(np.uint8)
+
+    def __iter__(self):
+        n = ctypes.c_uint64(0)
+        fmt = ctypes.c_int(0)
+        k = self.k
+        carry = np.empty(0, dtype=np.uint8)  # last <= k-1 codes of the run
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        while not self._done:
+            codes = np.empty(self._cap, dtype=np.uint64)
+            flags = np.empty(self._cap, dtype=np.uint8)
+            r = lib().fn_next_batch_r(
+                self._h, self.K1, self._cap, codes.ctypes.data,
+                flags.ctypes.data, ctypes.byref(n), ctypes.byref(fmt))
+            if r < 0:
+                code = lib().fn_error(self._h)
+                raise NativeError(_ERRORS.get(code, f"parse error {code}"))
+            self.format = fmt.value
+            if r == 0:
+                self._done = True
+            m = n.value
+            if m:
+                codes = codes[:m]
+                flags = flags[:m]
+                starts = np.flatnonzero(flags)
+                bounds = [0, *starts.tolist(), m]
+                blocks = []
+                for b in range(len(bounds) - 1):
+                    s, e = bounds[b], bounds[b + 1]
+                    if s == e:
+                        continue  # batch begins exactly at a run start
+                    if flags[s]:
+                        # new run: 31 bases from the first window, one per
+                        # later window
+                        buf = np.concatenate(
+                            [self._decode31(int(codes[s])),
+                             (codes[s + 1:e] & np.uint64(3))
+                             .astype(np.uint8)])
+                    else:
+                        # continuation of the previous batch's run
+                        buf = np.concatenate(
+                            [carry,
+                             (codes[s:e] & np.uint64(3)).astype(np.uint8)])
+                    if len(buf) >= k:
+                        # every window of buf ends at a new base (carry is
+                        # capped at k-1), so none was emitted before
+                        blocks.append(sliding_window_view(buf, k))
+                    carry = buf[-(k - 1):] if len(buf) >= k else buf
+                if blocks:
+                    yield self._windows(blocks)
+            if r == 0:
+                break
+
+    @property
+    def totals(self):
+        bases = ctypes.c_uint64(0)
+        kmers = ctypes.c_uint64(0)
+        recs = ctypes.c_uint64(0)
+        lib().fn_totals(self._h, ctypes.byref(bases), ctypes.byref(kmers),
+                        ctypes.byref(recs))
+        # the parser counted 31-mer substrate windows; valid k-mers at
+        # this k were counted during reconstruction
+        return bases.value, self._kmer_total, recs.value
 
     def close(self):
         if getattr(self, "_h", None):

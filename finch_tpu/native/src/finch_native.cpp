@@ -511,7 +511,14 @@ static int parse_batch_impl(void* h, uint32_t k, int canonical, uint64_t cap,
             rev = (rev >> 2) | ((KT)(3 - code) << rshift);
             vlen = (cls < 4) ? vlen + 1 : 0;
             const KT canon = fwd < rev ? fwd : rev;
-            if (EMIT == 0) {
+            if (EMIT == 4) {
+              // run-mode: forward codes + run-start flag (vlen == k means
+              // this is the first window of a valid-base run / record) —
+              // the host-side xwide (k >= 64) path reconstructs the
+              // normalized base runs from this stream
+              out_kmers[n] = (uint64_t)fwd;
+              out_rc[n] = (uint8_t)(vlen == k);
+            } else if (EMIT == 0) {
               out_kmers[n] = (uint64_t)(canonical ? canon : fwd);
               out_rc[n] = canonical ? (uint8_t)(fwd >= rev) : 0;
             } else if (EMIT == 2) {
@@ -546,7 +553,10 @@ static int parse_batch_impl(void* h, uint32_t k, int canonical, uint64_t cap,
                   uint64_t rcv;
                   if (canonical && fwd >= rev) { kv = rev; rcv = 1; }
                   else                         { kv = fwd; rcv = 0; }
-                  if (EMIT == 0) {
+                  if (EMIT == 4) {
+                    out_kmers[n] = (uint64_t)fwd;
+                    out_rc[n] = (uint8_t)(vlen == k);
+                  } else if (EMIT == 0) {
                     out_kmers[n] = (uint64_t)kv;
                     out_rc[n] = (uint8_t)rcv;
                   } else if (EMIT == 2) {
@@ -720,6 +730,20 @@ extern "C" int fn_next_batch_w(void* h, uint32_t k, int canonical,
                                uint64_t* n_out, int* format_out) {
   return parse_batch_impl<2>(h, k, canonical, cap, out_lo64, out_rc,
                              nullptr, nullptr, out_hi64, n_out, format_out);
+}
+
+// Run-mode variant (the xwide k >= 64 substrate): forward-strand k'-mer
+// codes (k' <= 31, the caller passes 31) with a run-start flag in place of
+// is_rc. From this stream the host reconstructs every maximal valid-base
+// run exactly — first window decodes to k' bases, each later window
+// appends its low 2 bits — and slides arbitrary-k byte windows over it
+// (the reference hashes canonical byte windows of any k, mash.rs:73-79).
+extern "C" int fn_next_batch_r(void* h, uint32_t k, uint64_t cap,
+                               uint64_t* out_codes, uint8_t* out_start,
+                               uint64_t* n_out, int* format_out) {
+  return parse_batch_impl<4>(h, k, /*canonical=*/0, cap, out_codes,
+                             out_start, nullptr, nullptr, nullptr, n_out,
+                             format_out);
 }
 
 extern "C" void fn_totals(void* h, uint64_t* bases, uint64_t* kmers,

@@ -103,16 +103,16 @@ def test_wide_k51_golden_pinned():
             assert murmur3_x64_128(km, 0)[0] == h
 
 
-def test_wide_k_rejected_above_63():
-    # pin the exact clean error type: a regression to TypeError/IndexError
-    # must FAIL this test, so no bare-Exception escape hatch
-    from finch_tpu.errors import FinchError
-
+def test_k_64_routes_to_xwide():
+    # k >= 64 is no longer rejected: it routes to the xwide byte-window
+    # path (tests/test_xwide.py pins its semantics)
     params = SketchParams.mash(kmers_to_sketch=4, final_size=4,
                                no_strict=True, kmer_length=64)
-    with pytest.raises(FinchError, match="1..=63"):
-        sketch_bytes(b">r\n" + b"ACGT" * 40 + b"\n", "t", params,
+    s = sketch_bytes(b">r\n" + b"ACGT" * 40 + b"\n", "t", params,
                      FilterParams(filter_on=False), backend="numpy")
+    # the period-4 repeat has exactly 3 distinct canonical 64-mers
+    assert len(s.hashes) == 3 and len(s.hashes[0].kmer) == 64
+    assert sum(kc.count for kc in s.hashes) == s.num_valid_kmers == 97
 
 
 def test_wide_cli_sketch_and_dist(tmp_path):
