@@ -127,6 +127,20 @@ def main() -> None:
             and np.array_equal(j8, j_m)), "DIVERGENCE: int8 Gram path"
     print("int8 Gram path: matches bf16/f32 on hardware")
 
+    # device-compacted survivors: same candidate stats as the full path
+    from finch_tpu.parallel.mxu_dist import all_pairs_survivors
+
+    surv = all_pairs_survivors(H, L, 0.0, 21.0, 0.3)
+    assert surv is not None, "survivors path out of contract unexpectedly"
+    iq_s, jr_s, c_s, i_s, j_s = surv
+    for x in range(len(iq_s)):
+        qa, qb = int(iq_s[x]), int(jr_s[x])
+        assert (c_s[x], i_s[x], j_s[x]) == \
+            (common[qa, qb], i_m[qa, qb], j_m[qa, qb]), \
+            f"DIVERGENCE: survivors stats at pair {qa},{qb}"
+    print(f"survivor compaction: {len(iq_s)} candidates match the "
+          "full-matrix stats on hardware")
+
     # composite-plane kernel input == classic input (bit-identical)
     import jax.numpy as jnp
 

@@ -456,14 +456,38 @@ def _calc_distances_gram(sketches, scale: float, k: float,
     stays lazy (`_GramDistanceRows`) so the CLI can serialize straight
     from the arrays."""
     import math
+    import os
 
     import numpy as np
 
-    from finch_tpu.parallel.mxu_dist import all_pairs_stats, pack_db
+    from finch_tpu.parallel.mxu_dist import (all_pairs_stats,
+                                             all_pairs_survivors, pack_db)
 
     H, L = pack_db([s.hash_array() for s in sketches])
-    common, i_m, j_m = all_pairs_stats(H, L, scale=scale)
     n = len(sketches)
+    names = [s.name for s in sketches]
+
+    if os.environ.get("FINCH_TPU_DIST_SURVIVORS", "1") != "0":
+        # survivor compaction on device: only candidate pairs cross the
+        # host link (None -> out of contract, take the full-matrix path)
+        surv = all_pairs_survivors(H, L, scale, k, max_distance)
+        if surv is not None:
+            iq_arr, jr_arr, cc, ii, jj = surv
+            # struct-equality self-skip like main.rs:322 on the candidates
+            dup = np.zeros(len(iq_arr), dtype=bool)
+            if len(set(names)) != n:
+                for x in range(len(iq_arr)):
+                    a, b = int(iq_arr[x]), int(jr_arr[x])
+                    if names[a] == names[b] and sketches[a] == sketches[b]:
+                        dup[x] = True
+            if dup.any():
+                keep_c = ~dup
+                iq_arr, jr_arr = iq_arr[keep_c], jr_arr[keep_c]
+                cc, ii, jj = cc[keep_c], ii[keep_c], jj[keep_c]
+            return _finish_gram_rows(cc, ii, jj, iq_arr, jr_arr, names, k,
+                                     max_distance)
+
+    common, i_m, j_m = all_pairs_stats(H, L, scale=scale)
 
     if max_distance >= 1.0:
         # every pair passes the clamp (mash = min(1, ...) <= 1)
@@ -485,7 +509,6 @@ def _calc_distances_gram(sketches, scale: float, k: float,
     np.fill_diagonal(keep, False)
     # struct-equality self-skip like main.rs:322 (duplicate sketches at
     # different indices are skipped too) — only probe name-equal pairs
-    names = [s.name for s in sketches]
     by_name = {}
     for ix, nm in enumerate(names):
         by_name.setdefault(nm, []).append(ix)
@@ -497,9 +520,18 @@ def _calc_distances_gram(sketches, scale: float, k: float,
 
     # ref-major, query-minor order (row-major walk of keep.T)
     jr_arr, iq_arr = np.nonzero(keep.T)
-    cc = common[iq_arr, jr_arr]
-    jj = j_m[iq_arr, jr_arr]
-    total = i_m[iq_arr, jr_arr] - cc + jj
+    return _finish_gram_rows(
+        common[iq_arr, jr_arr], i_m[iq_arr, jr_arr], j_m[iq_arr, jr_arr],
+        iq_arr, jr_arr, names, k, max_distance)
+
+
+def _finish_gram_rows(cc, ii, jj, iq_arr, jr_arr, names, k: float,
+                      max_distance: float) -> "_GramDistanceRows":
+    """Exact f64 raw_distance math + final mash cut on gathered candidate
+    integer stats (same formulas as core/distance.py, vectorized)."""
+    import numpy as np
+
+    total = ii - cc + jj
     c64 = cc.astype(np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
         containment = np.where(jj == 0, 0.0, c64 / jj.astype(np.float64))

@@ -327,6 +327,128 @@ def all_pairs_stats(hashes_padded: np.ndarray, lengths: np.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# device-side survivor compaction: mask + compact the candidate pairs on
+# chip so only ~survivors bytes cross the host link, not the (N, N) matrix
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("n_sketches", "page", "int8", "cap",
+                                   "scaled"))
+def _survivors_device(H, len32, maxima_sorted, inv_perm, sb, jmin_lo, eps,
+                      n_sketches: int, page: int, int8: bool, cap: int,
+                      scaled: bool):
+    """Candidate (mash <= d) pairs compacted on device.
+
+    Computes the Gram common matrix and the below-count i/j stats on
+    chip, applies the conservative f32 candidate test (see
+    cli._calc_distances_gram — same margin, exact f64 recheck happens on
+    host), and compacts the surviving (flat_idx, c, i, j) tuples to the
+    front with one keyed sort. Returns (idx u32[cap], c u16[cap],
+    i u16[cap], j u16[cap], count) — values beyond count are pad."""
+    n = n_sketches
+    flat_h = H.reshape(-1)
+    flat_s = jnp.tile(jnp.arange(n, dtype=jnp.int32)[:, None],
+                      (1, H.shape[1])).reshape(-1)
+    rid, sid, n_shared, _ = _shared_incidences(flat_h, flat_s,
+                                               int(flat_h.shape[0]))
+    common = _gram_accumulate(rid, sid, n_shared, n, page, int8=int8)
+    cf = common.astype(jnp.float32)
+    c_int = common.astype(jnp.uint32)  # exact: f32 accum bound is 2^24
+
+    below = _below_counts_device_sorted(H, maxima_sorted)[:, inv_perm]
+    base = jnp.minimum(below, len32[:, None])
+    empty = len32 == 0
+    base = jnp.where(empty[:, None] | empty[None, :], 0, base)
+    if scaled:
+        i_mat = jnp.maximum(base, sb[:, None])
+        j_mat = jnp.maximum(base.T, sb[None, :])
+    else:
+        i_mat = base
+        j_mat = base.T
+    tf = (i_mat + j_mat).astype(jnp.float32) - cf
+    keep = cf >= tf * jmin_lo - eps
+    keep &= ~jnp.eye(n, dtype=bool)
+
+    BIGK = jnp.uint32(0xFFFFFFFF)
+    key = jnp.where(keep,
+                    jnp.arange(n * n, dtype=jnp.uint32).reshape(n, n),
+                    BIGK).reshape(-1)
+    count = jnp.sum(keep.astype(jnp.int32))
+    key_s, c_s, i_s, j_s = lax.sort(
+        (key, c_int.reshape(-1), i_mat.astype(jnp.uint32).reshape(-1),
+         j_mat.astype(jnp.uint32).reshape(-1)), num_keys=1)
+    return (key_s[:cap], c_s[:cap].astype(jnp.uint16),
+            i_s[:cap].astype(jnp.uint16), j_s[:cap].astype(jnp.uint16),
+            count)
+
+
+def all_pairs_survivors(hashes_padded: np.ndarray, lengths: np.ndarray,
+                        scale: float, k: float, max_distance: float,
+                        run_block: int = 2048):
+    """(iq, jr, common, i, j) int64 arrays for every candidate pair whose
+    mash distance can be <= max_distance (a conservative superset — the
+    caller reruns the exact f64 filter), in ref-major/query-minor order.
+
+    Device-side replacement for all_pairs_stats + host masking when only
+    the survivors are needed: at 10k sketches the (N, N) stat matrices
+    are hundreds of MB of host transfer while the survivors are a few.
+    Returns None when the workload is out of contract (max_distance >= 1
+    keeps everything; counts must fit u16; survivor overflow) — callers
+    fall back to the full-matrix path."""
+    import math
+
+    n, kpad = hashes_padded.shape
+    if (max_distance >= 1.0 or kpad >= (1 << 16) or n < 2
+            or n * n >= (1 << 31)):
+        return None
+    _check_f32_gram_bound(kpad)
+    lengths = np.asarray(lengths, dtype=np.int32)
+    maxima = np.array(
+        [hashes_padded[i, lengths[i] - 1] if lengths[i] else np.uint64(0)
+         for i in range(n)], dtype=np.uint64)
+    order = np.argsort(maxima, kind="stable")
+    inv = np.empty(n, dtype=np.int32)
+    inv[order] = np.arange(n, dtype=np.int32)
+
+    scaled = scale > 0.0
+    if scaled:
+        from finch_tpu.core.distance import scale_recip_max_hash
+
+        max_hash = np.uint64(scale_recip_max_hash(scale))
+        sb = _below_counts(hashes_padded, lengths,
+                           np.array([max_hash], dtype=np.uint64),
+                           side="left")[:, 0].astype(np.int32)
+    else:
+        sb = np.zeros(n, dtype=np.int32)
+
+    e = math.exp(-k * max_distance)
+    j_min = e / (2.0 - e)
+    page = 2
+    while page < max(run_block, n + 1):
+        page *= 2
+    page = min(page, max(n * kpad, 2))
+    cap = min(n * n, 1 << 22)
+
+    idx_d, c_d, i_d, j_d, count_d = _survivors_device(
+        jnp.asarray(hashes_padded), jnp.asarray(lengths),
+        jnp.asarray(maxima[order]), jnp.asarray(inv), jnp.asarray(sb),
+        jnp.float32(j_min * (1.0 - 1e-4)), jnp.float32(1e-3),
+        n_sketches=n, page=page, int8=GRAM_INT8, cap=cap, scaled=scaled)
+    count = int(count_d)
+    if count > cap:
+        return None
+    idx = np.asarray(idx_d[:count]).astype(np.int64)
+    c = np.asarray(c_d[:count]).astype(np.int64)
+    i_v = np.asarray(i_d[:count]).astype(np.int64)
+    j_v = np.asarray(j_d[:count]).astype(np.int64)
+    iq = idx // n
+    jr = idx % n
+    # diagonal is the sketch sizes (fill_diagonal equivalent) — excluded
+    # by the mask, so c never needs the diagonal fix here
+    rm = np.argsort(jr * n + iq, kind="stable")  # ref-major output order
+    return iq[rm], jr[rm], c[rm], i_v[rm], j_v[rm]
+
+
+# ---------------------------------------------------------------------------
 # mesh-sharded Gram: element ranges (cut at run boundaries) per device
 # ---------------------------------------------------------------------------
 

@@ -133,3 +133,57 @@ def test_all_pairs_common_u16_fetch_exact_at_full_overlap():
     assert common[0, 1] == 300 and common[1, 0] == 300
     assert common[0, 2] == 150
     assert common[0, 0] == 300 and common[2, 2] == 150
+
+
+def test_all_pairs_survivors_matches_full_path():
+    """Device-compacted survivors must reproduce the full-matrix
+    candidate stats exactly (same c/i/j integers, ref-major order),
+    with and without the scaled-tail rule."""
+    import numpy as np
+
+    from finch_tpu.parallel.mxu_dist import (all_pairs_stats,
+                                             all_pairs_survivors, pack_db)
+
+    rng = np.random.default_rng(9)
+    pool = rng.choice(1 << 50, size=300, replace=False).astype(np.uint64)
+    dbs = [np.sort(rng.choice(pool, size=80, replace=False))
+           for _ in range(12)]
+    dbs.append(np.empty(0, dtype=np.uint64))  # empty sketch edge
+    H, L = pack_db(dbs)
+    k = 21.0
+    for scale in (0.0, 2e-14):
+        for d in (0.05, 0.3, 0.9):
+            surv = all_pairs_survivors(H, L, scale, k, d)
+            assert surv is not None
+            iq, jr, c, i_v, j_v = surv
+            common, i_m, j_m = all_pairs_stats(H, L, scale=scale)
+            # rebuild the same conservative mask on host
+            import math
+
+            e = math.exp(-k * d)
+            j_min = e / (2.0 - e)
+            total32 = (i_m - common + j_m).astype(np.int32)
+            keep = (common.astype(np.float32)
+                    >= total32.astype(np.float32)
+                    * np.float32(j_min * (1.0 - 1e-4)) - np.float32(1e-3))
+            np.fill_diagonal(keep, False)
+            jr_w, iq_w = np.nonzero(keep.T)
+            assert np.array_equal(iq, iq_w) and np.array_equal(jr, jr_w)
+            assert np.array_equal(c, common[iq_w, jr_w])
+            assert np.array_equal(i_v, i_m[iq_w, jr_w])
+            assert np.array_equal(j_v, j_m[iq_w, jr_w])
+
+
+def test_all_pairs_survivors_contract_fallbacks():
+    import numpy as np
+
+    from finch_tpu.parallel.mxu_dist import all_pairs_survivors, pack_db
+
+    rng = np.random.default_rng(10)
+    H, L = pack_db([np.sort(rng.choice(1 << 40, size=8).astype(np.uint64))
+                    for _ in range(3)])
+    # max_distance >= 1 keeps everything: no survivor advantage
+    assert all_pairs_survivors(H, L, 0.0, 21.0, 1.0) is None
+    # single sketch: nothing to pair
+    H1, L1 = pack_db([np.arange(4, dtype=np.uint64)])
+    assert all_pairs_survivors(H1, L1, 0.0, 21.0, 0.5) is None
