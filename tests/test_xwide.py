@@ -184,3 +184,35 @@ def test_xwide_cli_sketch(tmp_path, capsys):
     assert [int(h) for h in got["hashes"]][:5] == \
            [t[0] for t in want10[:5]]
     assert got["kmers"][0] == want10[0][1].decode()
+
+
+def test_xwide_hypothesis_fuzz_vs_oracle():
+    """Random messy FASTA records (Ns, lowercase, whitespace, short runs)
+    and random parser batch caps: the xwide window stream must equal the
+    oracle's canonical_kmers byte-for-byte, including rc flags."""
+    from hypothesis import given, settings, strategies as st
+
+    from finch_tpu.native import XWideReader
+
+    base = st.sampled_from(list(b"ACGTacgtNn"))
+    rec = st.lists(base, min_size=0, max_size=260).map(bytes)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(rec, min_size=1, max_size=4),
+           st.integers(min_value=64, max_value=90),
+           st.sampled_from([4096, 5000, 8192]))
+    def run(recs, k, cap):
+        data = b"".join(b">r%d\n%s\n" % (i, r) for i, r in enumerate(recs))
+        rd = XWideReader(data, k=k, batch_size=cap)
+        got = []
+        for win, is_rc in rd:
+            got += [(bytes(win[i]), int(is_rc[i]))
+                    for i in range(len(win))]
+        want = []
+        for r in recs:
+            want += [(km, int(rc)) for km, rc in
+                     oracle.canonical_kmers(oracle.normalize(r), k)]
+        assert got == want
+        assert rd.totals[1] == len(want)
+
+    run()
