@@ -403,7 +403,6 @@ def _uniform_dist_params(queries, refs) -> bool:
 
 def _calc_distances_batched(queries, refs,
                             max_distance: float) -> List[SketchDistance]:
-    from finch_tpu.core.distance import distance_from_stats
     from finch_tpu.parallel import all_vs_all_arrays
 
     scale = queries[0].sketch_params.hash_info()[3]
@@ -419,28 +418,55 @@ def _calc_distances_batched(queries, refs,
         # the ref-chunked tile engine below takes over.
         return _calc_distances_gram(refs, scale, k, max_distance)
 
+    import numpy as np
+
     qh = [q.hash_array() for q in queries]
-    distances = []
+    qnames = [q.name for q in queries]
+    rnames = [r.name for r in refs]
+    qname_ix = {}
+    for i, nm in enumerate(qnames):
+        qname_ix.setdefault(nm, []).append(i)
+    parts = []
     # chunk the ref axis so peak memory stays bounded (three (Q, chunk)
     # uint64 stat matrices) regardless of DB size; ref-major chunk order
-    # preserves the serial loop's output order
+    # preserves the serial loop's output order. The f64 math and the
+    # max-dist cut run vectorized per chunk (distance_from_stats per pair
+    # would cost minutes at DB scale).
     chunk = max(1, (1 << 22) // max(1, len(queries)))
     for r0 in range(0, len(refs), chunk):
         rchunk = refs[r0:r0 + chunk]
         common, istat, jstat = all_vs_all_arrays(
             qh, [r.hash_array() for r in rchunk], scale=scale)
-        for jr, ref_sketch in enumerate(rchunk):
-            for iq, query_sketch in enumerate(queries):
-                if (query_sketch.name == ref_sketch.name
-                        and query_sketch == ref_sketch):
-                    continue
-                d = distance_from_stats(
-                    int(common[iq, jr]), int(istat[iq, jr]),
-                    int(jstat[iq, jr]), k, query_sketch.name,
-                    ref_sketch.name)
-                if d.mash_distance <= max_distance:
-                    distances.append(d)
-    return distances
+        common = np.asarray(common).astype(np.int64)
+        istat = np.asarray(istat).astype(np.int64)
+        jstat = np.asarray(jstat).astype(np.int64)
+        keep = np.ones(common.shape, dtype=bool)
+        # struct-equality self-skip (main.rs:322): probe name-equal pairs
+        for jr_l, ref_sketch in enumerate(rchunk):
+            for iq in qname_ix.get(ref_sketch.name, ()):
+                if queries[iq] == ref_sketch:
+                    keep[iq, jr_l] = False
+        # ref-major, query-minor within the chunk
+        jr_l, iq_arr = np.nonzero(keep.T)
+        containment, jaccard, mash, cc, total, exact = _exact_rows(
+            common[iq_arr, jr_l], istat[iq_arr, jr_l],
+            jstat[iq_arr, jr_l], k, max_distance)
+        parts.append((containment, jaccard, mash, cc, total,
+                      iq_arr[exact], jr_l[exact] + r0))
+    if not parts:
+        z = np.empty(0)
+        zi = np.empty(0, dtype=np.int64)
+        return _GramDistanceRows(z, z, z, zi, zi, zi, zi, qnames,
+                                 ref_names=rnames)
+    return _GramDistanceRows(
+        containment=np.concatenate([p[0] for p in parts]),
+        jaccard=np.concatenate([p[1] for p in parts]),
+        mash=np.concatenate([p[2] for p in parts]),
+        common=np.concatenate([p[3] for p in parts]),
+        total=np.concatenate([p[4] for p in parts]),
+        iq=np.concatenate([p[5] for p in parts]),
+        jr=np.concatenate([p[6] for p in parts]),
+        names=qnames, ref_names=rnames)
 
 
 def _calc_distances_gram(sketches, scale: float, k: float,
@@ -525,10 +551,10 @@ def _calc_distances_gram(sketches, scale: float, k: float,
         iq_arr, jr_arr, names, k, max_distance)
 
 
-def _finish_gram_rows(cc, ii, jj, iq_arr, jr_arr, names, k: float,
-                      max_distance: float) -> "_GramDistanceRows":
+def _exact_rows(cc, ii, jj, k: float, max_distance: float):
     """Exact f64 raw_distance math + final mash cut on gathered candidate
-    integer stats (same formulas as core/distance.py, vectorized)."""
+    integer stats (same formulas as core/distance.py, vectorized).
+    Returns (containment, jaccard, mash, common, total, keep_mask)."""
     import numpy as np
 
     total = ii - cc + jj
@@ -541,11 +567,18 @@ def _finish_gram_rows(cc, ii, jj, iq_arr, jr_arr, names, k: float,
             jaccard == 0.0, np.inf,
             -1.0 * np.log((2.0 * jaccard) / (1.0 + jaccard)) / k)
     mash = np.minimum(1.0, np.maximum(0.0, mash))
-
     exact = mash <= max_distance
+    return (containment[exact], jaccard[exact], mash[exact], cc[exact],
+            total[exact], exact)
+
+
+def _finish_gram_rows(cc, ii, jj, iq_arr, jr_arr, names, k: float,
+                      max_distance: float) -> "_GramDistanceRows":
+    containment, jaccard, mash, common, total, exact = _exact_rows(
+        cc, ii, jj, k, max_distance)
     return _GramDistanceRows(
-        containment=containment[exact], jaccard=jaccard[exact],
-        mash=mash[exact], common=cc[exact], total=total[exact],
+        containment=containment, jaccard=jaccard, mash=mash,
+        common=common, total=total,
         iq=iq_arr[exact], jr=jr_arr[exact], names=names)
 
 
@@ -558,7 +591,7 @@ class _GramDistanceRows:
     `format_f64` calls instead of millions."""
 
     def __init__(self, containment, jaccard, mash, common, total, iq, jr,
-                 names):
+                 names, ref_names=None):
         self._containment = containment
         self._jaccard = jaccard
         self._mash = mash
@@ -566,7 +599,9 @@ class _GramDistanceRows:
         self._total = total
         self._iq = iq
         self._jr = jr
-        self._names = names
+        self._names = names            # query names, indexed by iq
+        self._rnames = (ref_names if ref_names is not None
+                        else names)    # ref names, indexed by jr
 
     def __len__(self) -> int:
         return len(self._common)
@@ -579,7 +614,7 @@ class _GramDistanceRows:
             common_hashes=int(self._common[ix]),
             total_hashes=int(self._total[ix]),
             query=self._names[self._iq[ix]],
-            reference=self._names[self._jr[ix]],
+            reference=self._rnames[self._jr[ix]],
         )
 
     def __getitem__(self, ix):
@@ -619,13 +654,17 @@ class _GramDistanceRows:
                 + ',"commonHashes":' + str(int(self._common[ix]))
                 + ',"totalHashes":' + str(int(self._total[ix]))
                 + ',"query":')
-        name_json = [_json.dumps(nm, ensure_ascii=False,
-                                 separators=(",", ":"))
-                     for nm in self._names]
+        qname_json = [_json.dumps(nm, ensure_ascii=False,
+                                  separators=(",", ":"))
+                      for nm in self._names]
+        rname_json = (qname_json if self._rnames is self._names else
+                      [_json.dumps(nm, ensure_ascii=False,
+                                   separators=(",", ":"))
+                       for nm in self._rnames])
         iq = self._iq
         jr = self._jr
-        rows = [segs[t] + name_json[iq[r]] + ',"reference":'
-                + name_json[jr[r]] + "}"
+        rows = [segs[t] + qname_json[iq[r]] + ',"reference":'
+                + rname_json[jr[r]] + "}"
                 for r, t in enumerate(inv)]
         return ("[" + ",".join(rows) + "]").encode("utf-8")
 
