@@ -81,13 +81,18 @@ def main() -> None:
               file=sys.stderr)
 
     from finch_tpu import cli
+    from finch_tpu.parallel import mxu_dist
 
     out = os.path.join(cache, "bench_cli_out.json")
     t_load = [0.0]
+    t_surv = [0.0]
+    surv_used = [False]
     t0 = time.perf_counter()
 
-    # phase probe: wrap the CLI's load symbol to split load vs compute
+    # phase probes: wrap the CLI's load symbol and the survivor-compaction
+    # entry to split load / engine / emission
     orig_open = cli.open_sketch_file
+    orig_surv = mxu_dist.all_pairs_survivors
 
     def timed_open(path):
         t = time.perf_counter()
@@ -95,12 +100,21 @@ def main() -> None:
         t_load[0] += time.perf_counter() - t
         return r
 
+    def timed_surv(*a, **kw):
+        t = time.perf_counter()
+        r = orig_surv(*a, **kw)
+        t_surv[0] += time.perf_counter() - t
+        surv_used[0] = r is not None
+        return r
+
     cli.open_sketch_file = timed_open
+    mxu_dist.all_pairs_survivors = timed_surv
     try:
         cli.run(["dist", "--pairwise", "--max-dist", str(args.max_dist),
                  db, "-o", out])
     finally:
         cli.open_sketch_file = orig_open
+        mxu_dist.all_pairs_survivors = orig_surv
     dt = time.perf_counter() - t0
 
     with open(out) as f:
@@ -110,6 +124,8 @@ def main() -> None:
         "n": args.n, "k": args.k,
         "wall_s": round(dt, 2),
         "db_load_s": round(t_load[0], 2),
+        "survivors_s": round(t_surv[0], 2),
+        "survivors_path": surv_used[0],
         "pairs_per_s_e2e": round(pairs / dt, 1),
         "emitted_rows": len(rows),
     }))
