@@ -83,6 +83,9 @@ def auto_use_kernel() -> bool:
 # spill compaction-on-overflow kill switch (A/B ablations / emergency
 # disable); exactness never depends on it
 SPILL_COMPACT = os.environ.get("FINCH_TPU_SPILL_COMPACT", "1") != "0"
+# tier-D dedup kernel (duplicate-burst re-selection); FINCH_TPU_DEDUP=0
+# removes it from the compiled program entirely (fallback = tiers B/C)
+DEDUP_TIER = os.environ.get("FINCH_TPU_DEDUP", "1") != "0"
 
 PAGE = 32768       # spill append granularity (entries)
 STAGE1_H = 32      # height of the first transposed sort
@@ -373,27 +376,35 @@ def sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
                 *, k: int, seed: int, has_max_hash: bool,
                 use_kernel: bool = False, composite: bool = False,
                 xla_aggregate: bool = False,
-                spill_compact: bool | None = None):
+                spill_compact: bool | None = None,
+                dedup_tier: bool | None = None,
+                kernel_interpret: bool = False):
     """Fold one batch into the sketch state (see _sketch_step).
 
-    Thin wrapper resolving spill_compact's default OUTSIDE the jit cache
-    so the module-level SPILL_COMPACT flag is always part of the key."""
+    Thin wrapper resolving the spill_compact/dedup_tier defaults OUTSIDE
+    the jit cache so the module-level env flags are always part of the
+    key."""
     if spill_compact is None:
         spill_compact = SPILL_COMPACT
+    if dedup_tier is None:
+        dedup_tier = DEDUP_TIER
     return _sketch_step(
         state, batch_packed, batch_rc, nvalid, max_hash, k=k, seed=seed,
         has_max_hash=has_max_hash, use_kernel=use_kernel,
         composite=composite, xla_aggregate=xla_aggregate,
-        spill_compact=spill_compact)
+        spill_compact=spill_compact, dedup_tier=dedup_tier,
+        kernel_interpret=kernel_interpret)
 
 
 @partial(jax.jit, static_argnames=("k", "seed", "has_max_hash",
                                    "use_kernel", "composite",
-                                   "xla_aggregate", "spill_compact"))
+                                   "xla_aggregate", "spill_compact",
+                                   "dedup_tier", "kernel_interpret"))
 def _sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
                  *, k: int, seed: int, has_max_hash: bool,
                  use_kernel: bool = False, composite: bool = False,
-                 xla_aggregate: bool = False, spill_compact: bool = True):
+                 xla_aggregate: bool = False, spill_compact: bool = True,
+                 dedup_tier: bool = True, kernel_interpret: bool = False):
     """Fold one batch of packed canonical k-mers into the sketch state.
 
     Exact for any input (cold state, survivor bursts, duplicates) via
@@ -563,7 +574,7 @@ def _sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
                 vhi,
                 (thresh >> jnp.uint64(32)).astype(jnp.uint32),
                 thresh.astype(jnp.uint32),
-                k=k, seed=seed)
+                k=k, seed=seed, interpret=kernel_interpret)
 
         def run_two_stage_kh(c):
             # tier C reuses the kernel's hash planes: mask + select +
@@ -583,9 +594,13 @@ def _sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
 
         # tier A: the in-kernel accumulator held every survivor — page its
         #   b/64-entry output (the common path).
-        # tier B: the accumulator overflowed (duplicate-heavy stream) but
-        #   no chunk column exceeded ROWS_OUT — page the per-chunk slab
-        #   with duplicate-run aggregation.
+        # tier D: a selection tier overflowed (duplicate-heavy stream) —
+        #   the dedup kernel re-selects every survivor from the saved
+        #   hash planes (no per-column extract bound) and collapses
+        #   duplicates into weighted heads on-chip; exact iff its own
+        #   flag stays clean.
+        # tier B: dedup also overflowed but no chunk column exceeded
+        #   ROWS_OUT — page the per-chunk slab with run aggregation.
         # tier C: a chunk column overflowed too (cold state / extreme
         #   density) — two-stage XLA selection over the kernel's hash
         #   planes, with aggregation.
@@ -595,17 +610,48 @@ def _sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
         # Priority: covf first — a chunk-column overflow drops survivors
         # from BOTH the slab and the accumulator (the 8-extract loses
         # them before the accumulator ever sees them), so covf!=0 must
-        # force tier C even when the accumulator itself never overflowed.
-        tier = jnp.where(
-            covf != 0, jnp.int32(2),
-            jnp.where(aovf != 0, jnp.int32(1), jnp.int32(0)))
-        (state4, spill, fill, below) = jax.lax.switch(
-            tier,
-            (lambda c: stage2_pages(c, cand),
-             lambda c: stage2_pages(c, slab, aggregate=True,
-                                    compact=spill_compact),
-             run_two_stage_kh),
-            carry0)
+        # force tier C (not B) when dedup cannot take the batch.
+        dirty = (covf | aovf) != 0
+        if dedup_tier and pallas_extract.supports_dedup(k, b):
+            def _run_dedup(_):
+                return pallas_extract.dedup_candidates(
+                    vlo, vhi, kh_lo, kh_hi,
+                    (thresh >> jnp.uint64(32)).astype(jnp.uint32),
+                    thresh.astype(jnp.uint32), k=k, seed=seed,
+                    interpret=kernel_interpret)
+
+            def _skip_dedup(_):
+                n_d = pallas_extract.DUP_ACC_H * pallas_extract.CHUNK_W
+                return (jnp.full((n_d,), U64_MAX, jnp.uint64),
+                        jnp.int32(1))
+
+            cand_d, dovf = jax.lax.cond(dirty, _run_dedup, _skip_dedup,
+                                        jnp.int32(0))
+            tier = jnp.where(
+                ~dirty, jnp.int32(0),
+                jnp.where(dovf == 0, jnp.int32(3),
+                          jnp.where(covf != 0, jnp.int32(2),
+                                    jnp.int32(1))))
+            (state4, spill, fill, below) = jax.lax.switch(
+                tier,
+                (lambda c: stage2_pages(c, cand),
+                 lambda c: stage2_pages(c, slab, aggregate=True,
+                                        compact=spill_compact),
+                 run_two_stage_kh,
+                 lambda c: stage2_pages(c, cand_d,
+                                        compact=spill_compact)),
+                carry0)
+        else:
+            tier = jnp.where(
+                covf != 0, jnp.int32(2),
+                jnp.where(aovf != 0, jnp.int32(1), jnp.int32(0)))
+            (state4, spill, fill, below) = jax.lax.switch(
+                tier,
+                (lambda c: stage2_pages(c, cand),
+                 lambda c: stage2_pages(c, slab, aggregate=True,
+                                        compact=spill_compact),
+                 run_two_stage_kh),
+                carry0)
     elif two_stage:
         # xla_aggregate turns duplicate-run aggregation + spill compaction
         # on for the pure-XLA path too (CPU test coverage of the weighted

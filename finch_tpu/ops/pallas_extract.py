@@ -322,6 +322,334 @@ def _extract_kernel(k: int, seed: int, nchunks: int,
     )
 
 
+# ---------------------------------------------------------------------------
+# duplicate-burst dedup kernel (tier D)
+#
+# When the main kernel's selection tiers overflow (duplicate-heavy
+# streams: chunk columns with more than ROWS_OUT survivors, or the
+# accumulator dropping survivors), the XLA fallback pays a global sort +
+# a survivor-entry paging loop per batch. This kernel instead re-selects
+# every survivor per chunk from the SAVED hash planes (no re-hash, no
+# per-column extract bound) and carries a weighted accumulator: each
+# chunk's survivors merge into a (DUP_ACC_H, CHUNK_W) column store via a
+# full bitonic sort, equal composites collapse into summed counts
+# (duplicates across chunks land in the same column and become adjacent
+# once sorted), and the final output is one spill-encoded weighted head
+# per distinct composite — the same (weight << (2k+2)) | (composite+1)
+# encoding the flush already decodes (ops/bottomk.py _flush /
+# _aggregate_runs). Exact iff its overflow flag stays 0: a column whose
+# distinct-survivor + fresh-hole count exceeds DUP_ACC_H drops a real
+# head and trips the flag (the caller falls back to tier B/C).
+# ---------------------------------------------------------------------------
+
+DUP_ACC_H = int(os.environ.get("FINCH_TPU_KERNEL_DUPACCH", "32"))
+if (DUP_ACC_H < 8 or (DUP_ACC_H & (DUP_ACC_H - 1)) or DUP_ACC_H % 8
+        or DUP_ACC_H < COLH // 2):
+    raise ValueError(
+        "FINCH_TPU_KERNEL_DUPACCH must be a power of two >= max(8, COLH/2)")
+
+
+def _lex_lt_strict(ah, al, bh, bl):
+    """Strict (hi, lo) less-than: ties return False on BOTH sides of a
+    compare-exchange, so the pair swaps consistently and the weight plane
+    is permuted without loss (a tie-true comparator would make both rows
+    'keep self' for values while the weights cross)."""
+    return (ah < bh) | ((ah == bh) & (al < bl))
+
+
+def _shift_up(x, d: int, fill):
+    """x[i] <- x[i+d] along axis 0 (rows shifted toward 0), tail filled.
+    d >= 8 is always a multiple of 8 here (doubling), so the slab slice
+    stays sublane-tile aligned; d < 8 goes through a roll + iota mask."""
+    n = x.shape[0]
+    if d >= 8:
+        return jnp.concatenate(
+            [x[d:, :], jnp.full((d, x.shape[1]), fill, x.dtype)], 0)
+    iota = jax.lax.broadcasted_iota(jnp.uint32, x.shape, 0)
+    r = pltpu.roll(x, jnp.int32(n - d), 0)
+    return jnp.where(iota < U32(n - d), r, fill)
+
+
+def _shift_down(x, d: int, fill):
+    """x[i] <- x[i-d] along axis 0, head filled."""
+    n = x.shape[0]
+    if d >= 8:
+        return jnp.concatenate(
+            [jnp.full((d, x.shape[1]), fill, x.dtype), x[: n - d, :]], 0)
+    iota = jax.lax.broadcasted_iota(jnp.uint32, x.shape, 0)
+    r = pltpu.roll(x, jnp.int32(d), 0)
+    return jnp.where(iota >= U32(d), r, fill)
+
+
+def _bitonic_sort3(x_h, x_l, x_w):
+    """Full ascending bitonic sort of the rows of (hi, lo) with the
+    weight plane permuted alongside. Row count must be a power of two.
+
+    Group-aligned distances (>= 8) run as slab compare-exchanges with the
+    block direction baked into the slab order; sub-8 distances use
+    sublane rolls with iota masks (the i^d partner stays inside its 8-row
+    tile for d < 8, matching the main kernel's merge network)."""
+    n = x_h.shape[0]
+    m = n.bit_length() - 1
+    for p in range(1, m + 1):           # sorted-block size 2^p
+        for q in range(p, 0, -1):       # partner distance 2^(q-1)
+            d = 1 << (q - 1)
+            if d >= 8:
+                ph, pl_, pw = [], [], []
+                for base in range(0, n, 2 * d):
+                    up = ((base >> p) & 1) == 0
+                    a_h = x_h[base:base + d, :]
+                    a_l = x_l[base:base + d, :]
+                    a_w = x_w[base:base + d, :]
+                    b_h = x_h[base + d:base + 2 * d, :]
+                    b_l = x_l[base + d:base + 2 * d, :]
+                    b_w = x_w[base + d:base + 2 * d, :]
+                    lt = _lex_lt_strict(a_h, a_l, b_h, b_l)
+                    first = lt if up else ~lt
+                    ph += [jnp.where(first, a_h, b_h),
+                           jnp.where(first, b_h, a_h)]
+                    pl_ += [jnp.where(first, a_l, b_l),
+                            jnp.where(first, b_l, a_l)]
+                    pw += [jnp.where(first, a_w, b_w),
+                           jnp.where(first, b_w, a_w)]
+                x_h = jnp.concatenate(ph, 0)
+                x_l = jnp.concatenate(pl_, 0)
+                x_w = jnp.concatenate(pw, 0)
+            else:
+                iota = jax.lax.broadcasted_iota(
+                    jnp.uint32, (n, x_h.shape[1]), 0)
+                self_high = (iota & U32(d)) != U32(0)
+                up = (iota & U32(1 << p)) == U32(0)
+                p_h = jnp.where(self_high,
+                                pltpu.roll(x_h, jnp.int32(d), 0),
+                                pltpu.roll(x_h, jnp.int32(n - d), 0))
+                p_l = jnp.where(self_high,
+                                pltpu.roll(x_l, jnp.int32(d), 0),
+                                pltpu.roll(x_l, jnp.int32(n - d), 0))
+                p_w = jnp.where(self_high,
+                                pltpu.roll(x_w, jnp.int32(d), 0),
+                                pltpu.roll(x_w, jnp.int32(n - d), 0))
+                # both rows of a pair must see the SAME comparison value
+                # (le(low, high)) or ties would duplicate one side's
+                # weight plane: evaluate it in canonical (low, high)
+                # operand order on each side
+                lt_sp = _lex_lt_strict(x_h, x_l, p_h, p_l)
+                lt_ps = _lex_lt_strict(p_h, p_l, x_h, x_l)
+                le = jnp.where(self_high, ~lt_sp, ~lt_ps)
+                take_self = le ^ ~up
+                x_h = jnp.where(take_self, x_h, p_h)
+                x_l = jnp.where(take_self, x_l, p_l)
+                x_w = jnp.where(take_self, x_w, p_w)
+    return x_h, x_l, x_w
+
+
+def _dedup_kernel(k: int, seed: int, nchunks: int, wshift: int,
+                  thi_ref, tlo_ref, vlo_hbm, vhi_hbm, hlo_hbm, hhi_hbm,
+                  out_lo_hbm, out_hi_hbm, ovf_ref):
+    th = thi_ref[0, 0]
+    tl = tlo_ref[0, 0]
+    A = DUP_ACC_H
+    W2 = A + COLH  # working rows per chunk merge
+
+    def body(slo, shi, sh0, sh1, alo, ahi, aw, sem_in, sem_o0, sem_o1):
+        def start_in(ci, slot):
+            off = ci * jnp.int32(COLH)
+            pltpu.make_async_copy(
+                vlo_hbm.at[pl.ds(off, COLH), :], slo.at[slot],
+                sem_in.at[slot, jnp.int32(0)]).start()
+            pltpu.make_async_copy(
+                vhi_hbm.at[pl.ds(off, COLH), :], shi.at[slot],
+                sem_in.at[slot, jnp.int32(1)]).start()
+            pltpu.make_async_copy(
+                hlo_hbm.at[pl.ds(off, COLH), :], sh0.at[slot],
+                sem_in.at[slot, jnp.int32(2)]).start()
+            pltpu.make_async_copy(
+                hhi_hbm.at[pl.ds(off, COLH), :], sh1.at[slot],
+                sem_in.at[slot, jnp.int32(3)]).start()
+
+        def wait_in(ci, slot):
+            off = ci * jnp.int32(COLH)
+            pltpu.make_async_copy(
+                vlo_hbm.at[pl.ds(off, COLH), :], slo.at[slot],
+                sem_in.at[slot, jnp.int32(0)]).wait()
+            pltpu.make_async_copy(
+                vhi_hbm.at[pl.ds(off, COLH), :], shi.at[slot],
+                sem_in.at[slot, jnp.int32(1)]).wait()
+            pltpu.make_async_copy(
+                hlo_hbm.at[pl.ds(off, COLH), :], sh0.at[slot],
+                sem_in.at[slot, jnp.int32(2)]).wait()
+            pltpu.make_async_copy(
+                hhi_hbm.at[pl.ds(off, COLH), :], sh1.at[slot],
+                sem_in.at[slot, jnp.int32(3)]).wait()
+
+        start_in(jnp.int32(0), jnp.int32(0))
+        alo[...] = jnp.full((A, CHUNK_W), U32_MAX, jnp.uint32)
+        ahi[...] = jnp.full((A, CHUNK_W), U32_MAX, jnp.uint32)
+        aw[...] = jnp.zeros((A, CHUNK_W), jnp.uint32)
+
+        def chunk(ci, dovf):
+            slot = jax.lax.rem(ci, jnp.int32(2))
+            nslot = jax.lax.rem(ci + jnp.int32(1), jnp.int32(2))
+            wait_in(ci, slot)
+
+            @pl.when(ci + jnp.int32(1) < jnp.int32(nchunks))
+            def _():
+                start_in(ci + jnp.int32(1), nslot)
+
+            vlo = slo[slot]
+            vhi = shi[slot]
+            hlo = sh0[slot]
+            hhi = sh1[slot]
+            is_pad = (vhi == U32_MAX) & (vlo == U32_MAX)
+            keep = ((hhi < th) | ((hhi == th) & (hlo <= tl))) & (~is_pad)
+            # +1 spill encoding on the (hi, lo) pair
+            clo = vlo + U32(1)
+            chi = vhi + (clo == U32(0)).astype(jnp.uint32)
+            clo = jnp.where(keep, clo, U32_MAX)
+            chi = jnp.where(keep, chi, U32_MAX)
+            cw = jnp.where(keep, U32(1), U32(0))  # occurrence counts
+
+            x_h = jnp.concatenate([ahi[...], chi], 0)
+            x_l = jnp.concatenate([alo[...], clo], 0)
+            x_w = jnp.concatenate([aw[...], cw], 0)
+            x_h, x_l, x_w = _bitonic_sort3(x_h, x_l, x_w)
+
+            # segmented run-count sum: values are sorted, so equality at
+            # distance d means same run; count doubling gives each row the
+            # sum of its run suffix, and the run head (first row of the
+            # run) ends with the full total
+            d = 1
+            while d < W2:
+                nh = _shift_up(x_h, d, U32_MAX)
+                nl = _shift_up(x_l, d, U32_MAX)
+                nw = _shift_up(x_w, d, U32(0))
+                same = (nh == x_h) & (nl == x_l) & (
+                    ~((x_h == U32_MAX) & (x_l == U32_MAX)))
+                x_w = x_w + jnp.where(same, nw, U32(0))
+                d <<= 1
+            ph = _shift_down(x_h, 1, U32_MAX)
+            pl2 = _shift_down(x_l, 1, U32_MAX)
+            real = ~((x_h == U32_MAX) & (x_l == U32_MAX))
+            head = real & ~((ph == x_h) & (pl2 == x_l))
+            x_h = jnp.where(head, x_h, U32_MAX)
+            x_l = jnp.where(head, x_l, U32_MAX)
+            x_w = jnp.where(head, x_w, U32(0))
+
+            # a real head above the kept window is a lost survivor; a
+            # count that would not fit the weight field is a lost count
+            top_real = (~((x_h[A:, :] == U32_MAX)
+                          & (x_l[A:, :] == U32_MAX))).astype(jnp.int32)
+            dovf = dovf | jnp.max(top_real)
+            if 64 - wshift < 32:
+                wbig = (x_w >= (U32(1) << U32(64 - wshift))).astype(
+                    jnp.int32)
+                dovf = dovf | jnp.max(wbig)
+            alo[...] = x_l[:A, :]
+            ahi[...] = x_h[:A, :]
+            aw[...] = x_w[:A, :]
+            return dovf
+
+        dovf = jax.lax.fori_loop(jnp.int32(0), jnp.int32(nchunks), chunk,
+                                 jnp.int32(0))
+        ovf_ref[0, 0] = dovf
+        ovf_ref[0, 1] = jnp.int32(0)
+
+        # fold weight - 1 into the spill encoding's top bits
+        w = aw[...]
+        real = ~((ahi[...] == U32_MAX) & (alo[...] == U32_MAX))
+        wm1 = jnp.where(real & (w > U32(0)), w - U32(1), U32(0))
+        if wshift >= 32:
+            add_lo = jnp.zeros_like(wm1)
+            add_hi = wm1 << U32(wshift - 32)
+        else:
+            add_lo = wm1 << U32(wshift)
+            add_hi = wm1 >> U32(32 - wshift)
+        o_l = alo[...] + add_lo
+        carry = (o_l < add_lo).astype(jnp.uint32)
+        o_h = ahi[...] + add_hi + carry
+        alo[...] = jnp.where(real, o_l, U32_MAX)
+        ahi[...] = jnp.where(real, o_h, U32_MAX)
+        c0 = pltpu.make_async_copy(alo, out_lo_hbm, sem_o0)
+        c1 = pltpu.make_async_copy(ahi, out_hi_hbm, sem_o1)
+        c0.start()
+        c1.start()
+        c0.wait()
+        c1.wait()
+
+    pl.run_scoped(
+        body,
+        slo=pltpu.VMEM((2, COLH, CHUNK_W), jnp.uint32),
+        shi=pltpu.VMEM((2, COLH, CHUNK_W), jnp.uint32),
+        sh0=pltpu.VMEM((2, COLH, CHUNK_W), jnp.uint32),
+        sh1=pltpu.VMEM((2, COLH, CHUNK_W), jnp.uint32),
+        alo=pltpu.VMEM((DUP_ACC_H, CHUNK_W), jnp.uint32),
+        ahi=pltpu.VMEM((DUP_ACC_H, CHUNK_W), jnp.uint32),
+        aw=pltpu.VMEM((DUP_ACC_H, CHUNK_W), jnp.uint32),
+        sem_in=pltpu.SemaphoreType.DMA((2, 4)),
+        sem_o0=pltpu.SemaphoreType.DMA,
+        sem_o1=pltpu.SemaphoreType.DMA,
+    )
+
+
+def supports_dedup(k: int, b: int) -> bool:
+    """Tier-D preconditions: the spill weight field must hold the worst
+    in-batch run total (COLH per column per chunk x nchunks), and the
+    working row count must be a power of two."""
+    if not (HAVE_PALLAS and b % (COLH * CHUNK_W) == 0
+            and b >= COLH * CHUNK_W):
+        return False
+    wshift = 2 * k + 2
+    wbits = 64 - wshift
+    if wbits < 12:
+        return False
+    n = DUP_ACC_H + COLH
+    return (n & (n - 1)) == 0
+
+
+@partial(jax.jit, static_argnames=("k", "seed", "interpret"))
+def dedup_candidates(vlo, vhi, hash_lo, hash_hi, thresh_hi, thresh_lo, *,
+                     k: int, seed: int, interpret: bool = False):
+    """Weighted dedup re-selection over the main kernel's saved planes.
+
+    Returns (cand u64[DUP_ACC_H*CHUNK_W] spill-encoded weighted heads,
+    dovf i32). Exact iff dovf == 0."""
+    b = vlo.shape[0]
+    nchunks = b // (COLH * CHUNK_W)
+    wshift = 2 * k + 2
+    kern = partial(_dedup_kernel, k, seed, nchunks, wshift)
+    out_lo, out_hi, ovf = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((DUP_ACC_H, CHUNK_W), jnp.uint32),
+            jax.ShapeDtypeStruct((DUP_ACC_H, CHUNK_W), jnp.uint32),
+            jax.ShapeDtypeStruct((1, 2), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(thresh_hi.reshape(1, 1).astype(jnp.uint32),
+      thresh_lo.reshape(1, 1).astype(jnp.uint32),
+      vlo.reshape(nchunks * COLH, CHUNK_W),
+      vhi.reshape(nchunks * COLH, CHUNK_W),
+      hash_lo.reshape(nchunks * COLH, CHUNK_W),
+      hash_hi.reshape(nchunks * COLH, CHUNK_W))
+    cand = ((out_hi.astype(jnp.uint64) << jnp.uint64(32))
+            | out_lo.astype(jnp.uint64)).ravel()
+    return cand, ovf[0, 0]
+
+
 def supports(k: int, b: int) -> bool:
     """Kernel preconditions: row-index encoding fits, chunking divides.
 
