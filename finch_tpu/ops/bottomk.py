@@ -86,6 +86,14 @@ SPILL_COMPACT = os.environ.get("FINCH_TPU_SPILL_COMPACT", "1") != "0"
 # tier-D dedup kernel (duplicate-burst re-selection); FINCH_TPU_DEDUP=0
 # removes it from the compiled program entirely (fallback = tiers B/C)
 DEDUP_TIER = os.environ.get("FINCH_TPU_DEDUP", "1") != "0"
+# ablation knob (read at import): page the tier-A accumulator output
+# directly instead of re-sorting it first. The accumulator is
+# column-sorted, so its row-major ravel already concentrates real
+# entries in a prefix of rows (row r all-pad implies every later row is
+# all-pad) — pages may carry interspersed pads, which every consumer
+# (append slots, flush, compaction, the scaled below bound) already
+# treats as empty.
+TIERA_DIRECT = os.environ.get("FINCH_TPU_TIERA_DIRECT", "0") == "1"
 
 PAGE = 32768       # spill append granularity (entries)
 STAGE1_H = 32      # height of the first transposed sort
@@ -576,6 +584,36 @@ def _sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
                 thresh.astype(jnp.uint32),
                 k=k, seed=seed, interpret=kernel_interpret)
 
+        def accum_pages(carry, flat_cand):
+            """Page the accumulator output without a re-sort (see
+            TIERA_DIRECT). Stops at the first all-pad page — sound
+            because pad rows are monotone in the accumulator's row-major
+            ravel."""
+            page = min(flat_cand.shape[0], PAGE)
+            npages = flat_cand.shape[0] // page
+
+            def a_body(c2):
+                p2, carry = c2
+                sl = jax.lax.dynamic_slice(flat_cand, (p2 * page,),
+                                           (page,))
+                return (p2 + jnp.int32(1),
+                        _append_page(carry, sl, mh_arg, k=k, seed=seed))
+
+            def a_cond(c2):
+                p2, _ = c2
+                sl = jax.lax.dynamic_slice(flat_cand, (p2 * page,),
+                                           (page,))
+                return (p2 < npages) & jnp.any(sl != U64_MAX)
+
+            _, carry = jax.lax.while_loop(a_cond, a_body,
+                                          (jnp.int32(0), carry))
+            return carry
+
+        def tier_a(c):
+            if TIERA_DIRECT:
+                return accum_pages(c, cand)
+            return stage2_pages(c, cand)
+
         def run_two_stage_kh(c):
             # tier C reuses the kernel's hash planes: mask + select +
             # two-stage sort, no XLA re-hash (the murmur dominates).
@@ -634,7 +672,7 @@ def _sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
                                     jnp.int32(1))))
             (state4, spill, fill, below) = jax.lax.switch(
                 tier,
-                (lambda c: stage2_pages(c, cand),
+                (tier_a,
                  lambda c: stage2_pages(c, slab, aggregate=True,
                                         compact=spill_compact),
                  run_two_stage_kh,
@@ -647,7 +685,7 @@ def _sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
                 jnp.where(aovf != 0, jnp.int32(1), jnp.int32(0)))
             (state4, spill, fill, below) = jax.lax.switch(
                 tier,
-                (lambda c: stage2_pages(c, cand),
+                (tier_a,
                  lambda c: stage2_pages(c, slab, aggregate=True,
                                         compact=spill_compact),
                  run_two_stage_kh),

@@ -594,3 +594,43 @@ def test_sketch_step_tier_d_integration(pattern):
     want = list(zip(eng.h.tolist(), eng.c.tolist(), eng.e.tolist(),
                     eng.pks[0].tolist()))
     assert got == want
+
+
+def test_sketch_step_tier_a_direct_paging(monkeypatch):
+    """TIERA_DIRECT pages the accumulator output without the re-sort;
+    the folded state must stay identical to NumpyEngine's (pads inside
+    pages are ignored by every consumer)."""
+    import jax.numpy as jnp
+
+    from finch_tpu.models.engine import NumpyEngine
+    from finch_tpu.models.params import SketchParams
+    from finch_tpu.ops import bottomk
+
+    k, seed, size = 21, 0, 512
+    b = 2 * pe.COLH * pe.CHUNK_W
+    rng = np.random.default_rng(41)
+    packed = rng.integers(0, 4 ** k, size=b, dtype=np.uint64)
+    rc = rng.integers(0, 2, size=b, dtype=np.uint8)
+
+    monkeypatch.setattr(bottomk, "TIERA_DIRECT", True)
+    bottomk._sketch_step.clear_cache()  # the knob is read at trace time
+    try:
+        state = bottomk.empty_state(size)
+        for xor in (0, 0x3F1):
+            p = packed ^ np.uint64(xor)
+            state, _ = bottomk.sketch_step(
+                state, jnp.asarray(p), jnp.asarray(rc), jnp.uint32(b),
+                jnp.uint64(0), k=k, seed=seed, has_max_hash=False,
+                use_kernel=True, kernel_interpret=True)
+        got = _state_tuples(state, k, seed)
+    finally:
+        monkeypatch.undo()
+        bottomk._sketch_step.clear_cache()
+
+    eng = NumpyEngine(SketchParams.mash(kmers_to_sketch=size,
+                                        final_size=size, no_strict=True))
+    for xor in (0, 0x3F1):
+        eng.update(packed ^ np.uint64(xor), rc)
+    want = list(zip(eng.h.tolist(), eng.c.tolist(), eng.e.tolist(),
+                    eng.pks[0].tolist()))
+    assert got == want
