@@ -216,3 +216,21 @@ def test_xwide_hypothesis_fuzz_vs_oracle():
         assert rd.totals[1] == len(want)
 
     run()
+
+
+def test_xwide_gzip_input(tmp_path):
+    """.gz sources flow through the same parser machinery on the xwide
+    path (lib.rs:60 autodetects compression)."""
+    import gzip
+
+    data = open(QUERY_FA, "rb").read()
+    gz = tmp_path / "q.fa.gz"
+    gz.write_bytes(gzip.compress(data))
+    params = SketchParams.mash(kmers_to_sketch=10, final_size=10,
+                               kmer_length=75, no_strict=True)
+    [s_gz] = sketch_files([str(gz)], params,
+                          FilterParams(filter_on=False), backend="numpy")
+    [s_raw] = sketch_files([QUERY_FA], params,
+                           FilterParams(filter_on=False), backend="numpy")
+    assert _tuples(s_gz) == _tuples(s_raw)
+    assert s_gz.seq_length == s_raw.seq_length
