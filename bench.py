@@ -124,13 +124,18 @@ def main() -> None:
         td_big = min(td_big, dt)
     worst = batch * 2 * timed_steps / max(td_big - td_small, 1e-9)
 
-    print(json.dumps({
+    out = {
         "metric": "kmers_sketched_per_sec_per_chip",
         "value": round(kmers_per_sec, 1),
         "unit": "kmers/s/chip",
         "vs_baseline": round(kmers_per_sec / BASELINE_KMERS_PER_SEC, 3),
         "worst_case_dup64": round(worst, 1),
-    }))
+    }
+    if not bottomk.DEDUP_TIER:
+        # mark metrics recorded without the tier-D kernel (e.g. the
+        # compile-regression retry) so A/B comparisons stay honest
+        out["dedup_tier"] = False
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

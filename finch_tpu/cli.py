@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import argparse
 import sys
-from typing import List, Optional
+from typing import List, Optional, Sequence
 
 from finch_tpu.core.distance import SketchDistance, distance
 from finch_tpu.errors import FinchError
@@ -363,7 +363,8 @@ def parse_mash_files(args) -> List[Sketch]:
 
 def calc_sketch_distances(query_sketches, ref_sketches, old_mode: bool,
                           max_distance: float,
-                          use_device: bool = True) -> List[SketchDistance]:
+                          use_device: bool = True
+                          ) -> Sequence[SketchDistance]:
     """main.rs:315-334 (skips query==ref by full struct equality).
 
     When use_device (the user did not force --backend numpy), large
@@ -402,7 +403,8 @@ def _uniform_dist_params(queries, refs) -> bool:
 
 
 def _calc_distances_batched(queries, refs,
-                            max_distance: float) -> List[SketchDistance]:
+                            max_distance: float
+                            ) -> Sequence[SketchDistance]:
     from finch_tpu.parallel import all_vs_all_arrays
 
     scale = queries[0].sketch_params.hash_info()[3]
@@ -481,13 +483,14 @@ def _calc_distances_gram(sketches, scale: float, k: float,
     (N, N) f64 temporaries and no per-pair Python until emission, which
     stays lazy (`_GramDistanceRows`) so the CLI can serialize straight
     from the arrays."""
-    import math
     import os
 
     import numpy as np
 
     from finch_tpu.parallel.mxu_dist import (all_pairs_stats,
-                                             all_pairs_survivors, pack_db)
+                                             all_pairs_survivors,
+                                             candidate_mask_consts,
+                                             pack_db)
 
     H, L = pack_db([s.hash_array() for s in sketches])
     n = len(sketches)
@@ -499,17 +502,21 @@ def _calc_distances_gram(sketches, scale: float, k: float,
         surv = all_pairs_survivors(H, L, scale, k, max_distance)
         if surv is not None:
             iq_arr, jr_arr, cc, ii, jj = surv
-            # struct-equality self-skip like main.rs:322 on the candidates
-            dup = np.zeros(len(iq_arr), dtype=bool)
-            if len(set(names)) != n:
-                for x in range(len(iq_arr)):
-                    a, b = int(iq_arr[x]), int(jr_arr[x])
-                    if names[a] == names[b] and sketches[a] == sketches[b]:
-                        dup[x] = True
-            if dup.any():
-                keep_c = ~dup
-                iq_arr, jr_arr = iq_arr[keep_c], jr_arr[keep_c]
-                cc, ii, jj = cc[keep_c], ii[keep_c], jj[keep_c]
+            # struct-equality self-skip like main.rs:322 on the
+            # candidates: vectorized name-equality probe, then struct
+            # compare only the (rare) probe hits
+            if len(set(names)) != n and len(iq_arr):
+                uniq = {nm: ix for ix, nm in enumerate(dict.fromkeys(names))}
+                ids = np.array([uniq[nm] for nm in names], dtype=np.int64)
+                probe = np.flatnonzero(ids[iq_arr] == ids[jr_arr])
+                dup_ix = [int(x) for x in probe
+                          if sketches[int(iq_arr[x])]
+                          == sketches[int(jr_arr[x])]]
+                if dup_ix:
+                    keep_c = np.ones(len(iq_arr), dtype=bool)
+                    keep_c[dup_ix] = False
+                    iq_arr, jr_arr = iq_arr[keep_c], jr_arr[keep_c]
+                    cc, ii, jj = cc[keep_c], ii[keep_c], jj[keep_c]
             return _finish_gram_rows(cc, ii, jj, iq_arr, jr_arr, names, k,
                                      max_distance)
 
@@ -519,18 +526,15 @@ def _calc_distances_gram(sketches, scale: float, k: float,
         # every pair passes the clamp (mash = min(1, ...) <= 1)
         keep = np.ones((n, n), dtype=bool)
     else:
-        # mash <= d  <=>  jaccard >= j_min = e^{-kd} / (2 - e^{-kd});
-        # test common >= total * j_min in f32 with a relative margin so
-        # no exact survivor is ever dropped (false positives are removed
-        # by the exact f64 recheck below). jaccard == 0 pairs have
-        # mash = 1 > d and fall out naturally; total == 0 (both empty)
-        # means jaccard = 1, mash = 0 and 0 >= -eps keeps it.
-        e = math.exp(-k * max_distance)
-        j_min = e / (2.0 - e)
+        # conservative candidate test (shared constants with the device
+        # survivors path): no exact survivor is ever dropped in f32;
+        # false positives are removed by the exact f64 recheck below.
+        # jaccard == 0 pairs have mash = 1 > d and fall out naturally;
+        # total == 0 (both empty) means mash = 0 and 0 >= -eps keeps it.
+        j_min_lo, eps = candidate_mask_consts(k, max_distance)
         total32 = (i_m - common + j_m).astype(np.int32)
         keep = (common.astype(np.float32)
-                >= total32.astype(np.float32)
-                * np.float32(j_min * (1.0 - 1e-4)) - np.float32(1e-3))
+                >= total32.astype(np.float32) * j_min_lo - eps)
         del total32
     np.fill_diagonal(keep, False)
     # struct-equality self-skip like main.rs:322 (duplicate sketches at

@@ -431,8 +431,9 @@ class XWideReader:
                 "bound (k <= 31), matching the reference's bit_kmers")
         self.k = int(k)
         # parser-batch cap sized so the (windows, k) byte matrix stays
-        # modest regardless of k
-        self._cap = max(1 << 12, min(int(batch_size), (8 << 20) // self.k))
+        # modest regardless of k; an explicitly small batch_size is
+        # honored (tests use tiny caps to force cross-batch stitching)
+        self._cap = max(64, min(int(batch_size), (8 << 20) // self.k))
         self._err = ctypes.c_int(0)
         self._keepalive = None
         self._lib = lib()

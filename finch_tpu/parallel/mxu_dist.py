@@ -176,6 +176,21 @@ def _gram_accumulate(rid: jnp.ndarray, sid: jnp.ndarray, n_shared,
     return common
 
 
+def candidate_mask_consts(k: float, max_distance: float):
+    """(j_min_lo f32, eps f32) for the conservative candidate test
+    `common >= total * j_min_lo - eps`. mash <= d is monotone in
+    jaccard with boundary j_min = e^{-kd} / (2 - e^{-kd}); the margin
+    guarantees no exact survivor is dropped in f32 (false positives are
+    removed by the exact f64 recheck). ONE definition shared by the host
+    prefilter, the device survivors kernel, and the equality tests — the
+    two paths' supersets must stay identical."""
+    import math
+
+    e = math.exp(-k * max_distance)
+    j_min = e / (2.0 - e)
+    return np.float32(j_min * (1.0 - 1e-4)), np.float32(1e-3)
+
+
 def _check_f32_gram_bound(k: int) -> None:
     """The f32 Gram accumulation is exact only while per-pair common counts
     stay below 2^24; a pair's common count is bounded by the padded sketch
@@ -394,8 +409,6 @@ def all_pairs_survivors(hashes_padded: np.ndarray, lengths: np.ndarray,
     Returns None when the workload is out of contract (max_distance >= 1
     keeps everything; counts must fit u16; survivor overflow) — callers
     fall back to the full-matrix path."""
-    import math
-
     n, kpad = hashes_padded.shape
     if (max_distance >= 1.0 or kpad >= (1 << 16) or n < 2
             or n * n >= (1 << 31)):
@@ -420,8 +433,7 @@ def all_pairs_survivors(hashes_padded: np.ndarray, lengths: np.ndarray,
     else:
         sb = np.zeros(n, dtype=np.int32)
 
-    e = math.exp(-k * max_distance)
-    j_min = e / (2.0 - e)
+    j_min_lo, eps = candidate_mask_consts(k, max_distance)
     page = 2
     while page < max(run_block, n + 1):
         page *= 2
@@ -431,7 +443,7 @@ def all_pairs_survivors(hashes_padded: np.ndarray, lengths: np.ndarray,
     idx_d, c_d, i_d, j_d, count_d = _survivors_device(
         jnp.asarray(hashes_padded), jnp.asarray(lengths),
         jnp.asarray(maxima[order]), jnp.asarray(inv), jnp.asarray(sb),
-        jnp.float32(j_min * (1.0 - 1e-4)), jnp.float32(1e-3),
+        jnp.float32(j_min_lo), jnp.float32(eps),
         n_sketches=n, page=page, int8=GRAM_INT8, cap=cap, scaled=scaled)
     count = int(count_d)
     if count > cap:

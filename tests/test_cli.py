@@ -323,3 +323,54 @@ def test_dist_pairwise_gram_float_parity(tmp_path):
             want.append(d.to_json_dict())
     assert got == want
     assert any(0.0 < d["jaccard"] < 1.0 for d in got)
+
+
+def test_dist_pairwise_survivors_duplicate_name_skip(tmp_path):
+    """The device-survivors path must apply the struct-equality self-skip
+    (main.rs:322): a sketch present twice under the same name emits no
+    pair with itself, byte-identical to the serial engine."""
+    import json
+
+    import numpy as np
+
+    from finch_tpu import cli
+    from finch_tpu.core.distance import distance
+    from finch_tpu.core.sketch import LazyKmerCounts, Sketch
+    from finch_tpu.models.params import FilterParams, SketchParams
+    from finch_tpu.serialization.finch_bsk import write_finch_file
+
+    rng = np.random.default_rng(12)
+    p = SketchParams.mash(kmers_to_sketch=30, final_size=30,
+                          no_strict=True)
+    pool = rng.choice(1 << 48, size=90, replace=False).astype(np.uint64)
+
+    def mk(nm, seed):
+        r = np.random.default_rng(seed)
+        hs = np.sort(r.choice(pool, size=30, replace=False))
+        c = r.integers(1, 4, size=30, dtype=np.uint32)
+        return Sketch(name=nm, seq_length=9, num_valid_kmers=12,
+                      comment="",
+                      hashes=LazyKmerCounts(hs, [b""] * 30, c, c // 2),
+                      filter_params=FilterParams(filter_on=False),
+                      sketch_params=p)
+
+    sks = [mk("a", 1), mk("b", 2), mk("a", 1), mk("b", 9)]
+    # sks[0] == sks[2] (same name, same content): skipped both ways;
+    # sks[1] vs sks[3] share a name but differ: NOT skipped
+    db = tmp_path / "d.bsk"
+    db.write_bytes(write_finch_file(sks))
+    out = tmp_path / "o.json"
+    cli.run(["dist", "--pairwise", "--max-dist", "0.9", str(db),
+             "-o", str(out)])
+    rows = json.load(open(out))
+
+    want = []
+    for ref in sks:
+        for q in sks:
+            if q == ref:
+                continue
+            d = distance(q, ref)
+            if d.mash_distance <= 0.9:
+                want.append(d.to_json_dict())
+    assert rows == want
+    assert any(r["query"] == "b" and r["reference"] == "b" for r in rows)

@@ -142,7 +142,9 @@ def test_all_pairs_survivors_matches_full_path():
     import numpy as np
 
     from finch_tpu.parallel.mxu_dist import (all_pairs_stats,
-                                             all_pairs_survivors, pack_db)
+                                             all_pairs_survivors,
+                                             candidate_mask_consts,
+                                             pack_db)
 
     rng = np.random.default_rng(9)
     pool = rng.choice(1 << 50, size=300, replace=False).astype(np.uint64)
@@ -157,15 +159,11 @@ def test_all_pairs_survivors_matches_full_path():
             assert surv is not None
             iq, jr, c, i_v, j_v = surv
             common, i_m, j_m = all_pairs_stats(H, L, scale=scale)
-            # rebuild the same conservative mask on host
-            import math
-
-            e = math.exp(-k * d)
-            j_min = e / (2.0 - e)
+            # rebuild the same conservative mask on host (shared consts)
+            j_min_lo, eps = candidate_mask_consts(k, d)
             total32 = (i_m - common + j_m).astype(np.int32)
             keep = (common.astype(np.float32)
-                    >= total32.astype(np.float32)
-                    * np.float32(j_min * (1.0 - 1e-4)) - np.float32(1e-3))
+                    >= total32.astype(np.float32) * j_min_lo - eps)
             np.fill_diagonal(keep, False)
             jr_w, iq_w = np.nonzero(keep.T)
             assert np.array_equal(iq, iq_w) and np.array_equal(jr, jr_w)
