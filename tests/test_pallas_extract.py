@@ -634,3 +634,49 @@ def test_sketch_step_tier_a_direct_paging(monkeypatch):
     want = list(zip(eng.h.tolist(), eng.c.tolist(), eng.e.tolist(),
                     eng.pks[0].tolist()))
     assert got == want
+
+
+def test_sketch_step_tier_d_scaled():
+    """Tier D under the scaled scheme (has_max_hash): weighted heads +
+    the spill-occupancy below bound must match NumpyEngine."""
+    import jax.numpy as jnp
+
+    from finch_tpu.models.engine import NumpyEngine
+    from finch_tpu.models.params import SketchParams
+    from finch_tpu.ops import bottomk
+
+    k, seed = 21, 0
+    b = 2 * pe.COLH * pe.CHUNK_W
+    rng = np.random.default_rng(53)
+    distinct = rng.integers(0, 4 ** k, size=b // 64, dtype=np.uint64)
+    packed = np.tile(distinct, 64)
+    rc = np.tile(rng.integers(0, 2, size=b // 64, dtype=np.uint8), 64)
+
+    params = SketchParams.scaled(kmers_to_sketch=64, scale=0.01)
+    max_hash = np.uint64(params.max_hash())
+    cap = 4096
+    state = bottomk.empty_state(cap)
+    state, below = bottomk.sketch_step(
+        state, jnp.asarray(packed), jnp.asarray(rc), jnp.uint32(b),
+        jnp.asarray(max_hash), k=k, seed=seed, has_max_hash=True,
+        use_kernel=True, kernel_interpret=True)
+    assert int(below) + 64 <= cap  # no grow needed at this scale
+    st, _ = bottomk.flush_state(state, jnp.asarray(max_hash), k=k,
+                                seed=seed)
+    sh, sc, se, spk = (np.asarray(a) for a in st[:4])
+    real = sc > 0
+    got = list(zip(sh[real].tolist(), sc[real].tolist(),
+                   se[real].tolist(), spk[real].tolist()))
+
+    eng = NumpyEngine(params)
+    eng.update(packed, rc)
+    want = list(zip(eng.h.tolist(), eng.c.tolist(), eng.e.tolist(),
+                    eng.pks[0].tolist()))
+    # the device state retains at least the engine's retention set; after
+    # the scheme retention both must agree
+    keep = min(len(want), len(got))
+    from finch_tpu.models.engine import _retention_keep
+    keep_n = _retention_keep(params, np.array([t[0] for t in got],
+                                              dtype=np.uint64))
+    assert got[:keep_n] == want[:keep_n]
+    assert len(want) >= keep_n
