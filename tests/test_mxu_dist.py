@@ -185,3 +185,22 @@ def test_all_pairs_survivors_contract_fallbacks():
     # single sketch: nothing to pair
     H1, L1 = pack_db([np.arange(4, dtype=np.uint64)])
     assert all_pairs_survivors(H1, L1, 0.0, 21.0, 0.5) is None
+
+
+def test_all_pairs_survivors_int8_gram(monkeypatch):
+    """Survivors compaction over the int8-MXU Gram accumulation path."""
+    import numpy as np
+
+    from finch_tpu.parallel import mxu_dist as mx
+
+    rng = np.random.default_rng(14)
+    pool = rng.choice(1 << 50, size=200, replace=False).astype(np.uint64)
+    dbs = [np.sort(rng.choice(pool, size=60, replace=False))
+           for _ in range(10)]
+    H, L = mx.pack_db(dbs)
+    want = mx.all_pairs_survivors(H, L, 0.0, 21.0, 0.2)
+    monkeypatch.setattr(mx, "GRAM_INT8", True)
+    got = mx.all_pairs_survivors(H, L, 0.0, 21.0, 0.2)
+    assert want is not None and got is not None
+    for a, b in zip(want, got):
+        assert np.array_equal(a, b)
