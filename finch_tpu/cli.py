@@ -437,22 +437,21 @@ def _calc_distances_batched(queries, refs,
     chunk = max(1, (1 << 22) // max(1, len(queries)))
     for r0 in range(0, len(refs), chunk):
         rchunk = refs[r0:r0 + chunk]
-        common, istat, jstat = all_vs_all_arrays(
-            qh, [r.hash_array() for r in rchunk], scale=scale)
-        common = np.asarray(common).astype(np.int64)
-        istat = np.asarray(istat).astype(np.int64)
-        jstat = np.asarray(jstat).astype(np.int64)
+        common, istat, jstat = (np.asarray(m) for m in all_vs_all_arrays(
+            qh, [r.hash_array() for r in rchunk], scale=scale))
         keep = np.ones(common.shape, dtype=bool)
         # struct-equality self-skip (main.rs:322): probe name-equal pairs
         for jr_l, ref_sketch in enumerate(rchunk):
             for iq in qname_ix.get(ref_sketch.name, ()):
                 if queries[iq] == ref_sketch:
                     keep[iq, jr_l] = False
-        # ref-major, query-minor within the chunk
+        # ref-major, query-minor within the chunk; gather the candidate
+        # stats first, THEN widen to int64 (no full-matrix copies)
         jr_l, iq_arr = np.nonzero(keep.T)
         containment, jaccard, mash, cc, total, exact = _exact_rows(
-            common[iq_arr, jr_l], istat[iq_arr, jr_l],
-            jstat[iq_arr, jr_l], k, max_distance)
+            common[iq_arr, jr_l].astype(np.int64),
+            istat[iq_arr, jr_l].astype(np.int64),
+            jstat[iq_arr, jr_l].astype(np.int64), k, max_distance)
         parts.append((containment, jaccard, mash, cc, total,
                       iq_arr[exact], jr_l[exact] + r0))
     if not parts:
@@ -460,15 +459,8 @@ def _calc_distances_batched(queries, refs,
         zi = np.empty(0, dtype=np.int64)
         return _GramDistanceRows(z, z, z, zi, zi, zi, zi, qnames,
                                  ref_names=rnames)
-    return _GramDistanceRows(
-        containment=np.concatenate([p[0] for p in parts]),
-        jaccard=np.concatenate([p[1] for p in parts]),
-        mash=np.concatenate([p[2] for p in parts]),
-        common=np.concatenate([p[3] for p in parts]),
-        total=np.concatenate([p[4] for p in parts]),
-        iq=np.concatenate([p[5] for p in parts]),
-        jr=np.concatenate([p[6] for p in parts]),
-        names=qnames, ref_names=rnames)
+    cols = [np.concatenate(c) for c in zip(*parts)]
+    return _GramDistanceRows(*cols, names=qnames, ref_names=rnames)
 
 
 def _calc_distances_gram(sketches, scale: float, k: float,

@@ -191,6 +191,24 @@ def candidate_mask_consts(k: float, max_distance: float):
     return np.float32(j_min * (1.0 - 1e-4)), np.float32(1e-3)
 
 
+def _sketch_maxima(hashes_padded: np.ndarray,
+                   lengths: np.ndarray) -> np.ndarray:
+    """Per-sketch largest hash (0 for empty sketches)."""
+    return np.array(
+        [hashes_padded[i, lengths[i] - 1] if lengths[i] else np.uint64(0)
+         for i in range(len(lengths))], dtype=np.uint64)
+
+
+def _page_size(run_block: int, n: int, cap: int) -> int:
+    """Gram page: smallest power of two > max(run_block, n), clamped to
+    the element count (a page must never split a run; the longest run
+    holds each sketch once)."""
+    page = 2
+    while page < max(run_block, n + 1):
+        page *= 2
+    return min(page, max(int(cap), 2))
+
+
 def _check_f32_gram_bound(k: int) -> None:
     """The f32 Gram accumulation is exact only while per-pair common counts
     stay below 2^24; a pair's common count is bounded by the padded sketch
@@ -214,12 +232,7 @@ def _common_device(hashes_padded: np.ndarray, run_block: int):
                       (1, k)).reshape(-1)
     cap = flat_h.shape[0]
     rid, sid, n_shared, _ = _shared_incidences(flat_h, flat_s, cap)
-    # page must exceed the longest possible run (n: one element per
-    # sketch max) unless the whole incidence list is smaller than that
-    page = 2
-    while page < max(run_block, n + 1):
-        page *= 2
-    page = min(page, max(int(cap), 2))
+    page = _page_size(run_block, n, cap)
     common = _gram_accumulate(rid, sid, n_shared, n, page, int8=GRAM_INT8)
     if k < (1 << 16):
         # counts are bounded by the padded sketch length, so fetch the
@@ -297,9 +310,7 @@ def all_pairs_stats(hashes_padded: np.ndarray, lengths: np.ndarray,
     # host numpy otherwise) instead of serializing in front of it
     common_dev = _common_device(hashes_padded, run_block)
 
-    maxima = np.array(
-        [hashes_padded[i, lengths[i] - 1] if lengths[i] else np.uint64(0)
-         for i in range(n)], dtype=np.uint64)
+    maxima = _sketch_maxima(hashes_padded, lengths)
     # below[q, r] = #{q <= max_r}
     if device_ij:
         # dispatch the below sort, THEN fetch common: the transfer rides
@@ -415,9 +426,7 @@ def all_pairs_survivors(hashes_padded: np.ndarray, lengths: np.ndarray,
         return None
     _check_f32_gram_bound(kpad)
     lengths = np.asarray(lengths, dtype=np.int32)
-    maxima = np.array(
-        [hashes_padded[i, lengths[i] - 1] if lengths[i] else np.uint64(0)
-         for i in range(n)], dtype=np.uint64)
+    maxima = _sketch_maxima(hashes_padded, lengths)
     order = np.argsort(maxima, kind="stable")
     inv = np.empty(n, dtype=np.int32)
     inv[order] = np.arange(n, dtype=np.int32)
@@ -434,10 +443,7 @@ def all_pairs_survivors(hashes_padded: np.ndarray, lengths: np.ndarray,
         sb = np.zeros(n, dtype=np.int32)
 
     j_min_lo, eps = candidate_mask_consts(k, max_distance)
-    page = 2
-    while page < max(run_block, n + 1):
-        page *= 2
-    page = min(page, max(n * kpad, 2))
+    page = _page_size(run_block, n, n * kpad)
     cap = min(n * n, 1 << 22)
 
     idx_d, c_d, i_d, j_d, count_d = _survivors_device(
@@ -484,11 +490,7 @@ def sharded_common(hashes_padded: np.ndarray, lengths: np.ndarray,
                       (1, k)).reshape(-1)
     cap = int(flat_h.shape[0])
     rid, sid, n_shared, _ = _shared_incidences(flat_h, flat_s, cap)
-
-    page = 2
-    while page < max(run_block, n + 1):
-        page *= 2
-    page = min(page, max(cap, 2))
+    page = _page_size(run_block, n, cap)
 
     def device_fn(rid, sid, n_shared):
         d = lax.axis_index(axis)
