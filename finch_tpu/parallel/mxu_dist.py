@@ -421,8 +421,11 @@ def all_pairs_survivors(hashes_padded: np.ndarray, lengths: np.ndarray,
     keeps everything; counts must fit u16; survivor overflow) — callers
     fall back to the full-matrix path."""
     n, kpad = hashes_padded.shape
+    # the device pass holds several (N, N) matrices plus a 4-operand
+    # N^2 sort (~60 bytes/pair live); past ~16k sketches that outgrows
+    # one chip's HBM, so the full-matrix host path takes over
     if (max_distance >= 1.0 or kpad >= (1 << 16) or n < 2
-            or n * n >= (1 << 31)):
+            or n > (1 << 14)):
         return None
     _check_f32_gram_bound(kpad)
     lengths = np.asarray(lengths, dtype=np.int32)
