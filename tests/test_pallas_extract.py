@@ -466,14 +466,19 @@ def _dedup_decode(cand, k):
     return out
 
 
-@pytest.mark.parametrize("nchunks,dup", [(1, 16), (2, 64)])
-def test_dedup_candidates_matches_bruteforce(nchunks, dup):
+@pytest.mark.parametrize("nchunks,dup,k", [
+    (1, 16, 21), (2, 64, 21),
+    (1, 16, 15),   # wshift == 32: weight sits exactly at the hi word
+    (1, 16, 25),   # minimum 12-bit weight field (supports_dedup bound)
+])
+def test_dedup_candidates_matches_bruteforce(nchunks, dup, k):
     """Tier-D kernel: weighted heads must equal the survivor multiset
     grouped by composite, under heavy tiled duplication (the adversarial
     dup-burst shape) and across chunks."""
     import jax.numpy as jnp
 
-    k, seed = 21, 0
+    seed = 0
+    assert pe.supports_dedup(k, nchunks * pe.COLH * pe.CHUNK_W)
     b = nchunks * pe.COLH * pe.CHUNK_W
     rng = np.random.default_rng(23)
     distinct = rng.integers(0, 4 ** k, size=b // dup, dtype=np.uint64)
