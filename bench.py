@@ -24,10 +24,15 @@ def main() -> None:
 
     from finch_tpu.ops import bottomk
 
+    import sys
+
     k = 21
     size = 1000
     cap = size * 200   # filtered-mash working state (cli.rs:287)
     batch = 1 << 22    # 4M k-mers per device step
+    for a in sys.argv[1:]:
+        if a.startswith("--batch="):
+            batch = int(a.split("=", 1)[1])
     warm_steps = 8     # decay the admission threshold to steady state
     timed_steps = 32
 
@@ -156,8 +161,9 @@ if __name__ == "__main__":
             env = dict(os.environ)
             if attempt == 1:
                 env["FINCH_TPU_DEDUP"] = "0"
-            r = subprocess.run([sys.executable, __file__, "--no-retry"],
-                               env=env)
+            r = subprocess.run(
+                [sys.executable, __file__, "--no-retry", *sys.argv[1:]],
+                env=env)
             if r.returncode == 0:
                 break
         sys.exit(r.returncode)
