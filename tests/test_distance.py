@@ -228,3 +228,64 @@ def test_error_taxonomy_unified():
     # backward-compatible Python idioms
     assert issubclass(FinchMessageError, ValueError)
     assert issubclass(FinchSchemaError, ValueError)
+
+
+def test_gram_cli_path_fuzz_vs_serial():
+    """Randomized pairwise workloads through _calc_distances_gram
+    (survivors + candidate mask + lazy rows) must match the serial
+    per-pair engine on every field, across random max-dist cuts, scales,
+    sketch-size skews, and duplicate names."""
+    from hypothesis import given, settings, strategies as st
+
+    from finch_tpu.cli import _calc_distances_gram
+    from finch_tpu.core.distance import distance
+    from finch_tpu.core.sketch import LazyKmerCounts, Sketch
+    from finch_tpu.models.params import FilterParams, SketchParams
+
+    def mk_db(seed, n, overlap_pool, scale):
+        rng = np.random.default_rng(seed)
+        if scale > 0:
+            params = SketchParams.scaled(kmers_to_sketch=8, scale=scale)
+        else:
+            params = SketchParams.mash(kmers_to_sketch=16, final_size=16,
+                                       no_strict=True)
+        pool = rng.choice(1 << 44, size=overlap_pool,
+                          replace=False).astype(np.uint64)
+        sks = []
+        for i in range(n):
+            m = int(rng.integers(0, 16))
+            hs = np.sort(rng.choice(pool, size=m, replace=False)) if m \
+                else np.empty(0, dtype=np.uint64)
+            c = rng.integers(1, 4, size=m, dtype=np.uint32)
+            nm = f"s{i % max(1, n - 1)}"  # forces some duplicate names
+            sks.append(Sketch(
+                name=nm, seq_length=3, num_valid_kmers=5, comment="",
+                hashes=LazyKmerCounts(hs, [b""] * m, c, c // 2),
+                filter_params=FilterParams(filter_on=False),
+                sketch_params=params))
+        return sks
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(0, 10 ** 6), st.integers(3, 9),
+           st.sampled_from([24, 200]),
+           st.sampled_from([0.0, 1e-13]),
+           st.sampled_from([0.05, 0.3, 0.99, 1.0]))
+    def run(seed, n, pool, scale, max_dist):
+        sks = mk_db(seed, n, pool, scale)
+        k = float(sks[0].sketch_params.k)
+        got = [(d.query, d.reference, d.containment, d.jaccard,
+                d.mash_distance, d.common_hashes, d.total_hashes)
+               for d in _calc_distances_gram(sks, scale, k, max_dist)]
+        want = []
+        for ref in sks:
+            for q in sks:
+                if q == ref:
+                    continue
+                d = distance(q, ref)
+                if d.mash_distance <= max_dist:
+                    want.append((d.query, d.reference, d.containment,
+                                 d.jaccard, d.mash_distance,
+                                 d.common_hashes, d.total_hashes))
+        assert got == want
+
+    run()
