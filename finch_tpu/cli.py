@@ -621,28 +621,23 @@ class _GramDistanceRows:
     def __iter__(self):
         return (self._row(i) for i in range(len(self)))
 
-    def to_json_bytes(self) -> bytes:
-        import json as _json
-
+    def _row_strings(self, s0: int, s1: int, qname_json, rname_json):
+        """Serialized rows [s0, s1): one format_f64 per distinct
+        (common, total, containment) stat triple — the three floats are
+        functions of those integers plus the containment bits."""
         import numpy as np
 
-        m = len(self)
-        if m == 0:
-            return b"[]"
-        # the three floats are functions of (common, jaccard-denominator
-        # total, containment-denominator j) — and j = common/containment
-        # only enters through containment, so key on (common, total,
-        # containment) bit patterns; format each distinct triple once
+        m = s1 - s0
         trip = np.empty((m, 3), dtype=np.int64)
-        trip[:, 0] = self._common
-        trip[:, 1] = self._total
-        trip[:, 2] = self._containment.view(np.int64)
+        trip[:, 0] = self._common[s0:s1]
+        trip[:, 1] = self._total[s0:s1]
+        trip[:, 2] = self._containment[s0:s1].view(np.int64)
         uniq, inv = np.unique(trip, axis=0, return_inverse=True)
         first = np.zeros(len(uniq), dtype=np.int64)
         first[inv[::-1]] = np.arange(m - 1, -1, -1)
         segs = []
         for u in range(len(uniq)):
-            ix = int(first[u])
+            ix = s0 + int(first[u])
             segs.append(
                 '{"containment":' + format_f64(float(self._containment[ix]))
                 + ',"jaccard":' + format_f64(float(self._jaccard[ix]))
@@ -650,6 +645,15 @@ class _GramDistanceRows:
                 + ',"commonHashes":' + str(int(self._common[ix]))
                 + ',"totalHashes":' + str(int(self._total[ix]))
                 + ',"query":')
+        iq = self._iq[s0:s1]
+        jr = self._jr[s0:s1]
+        return [segs[t] + qname_json[iq[r]] + ',"reference":'
+                + rname_json[jr[r]] + "}"
+                for r, t in enumerate(inv)]
+
+    def _name_tables(self):
+        import json as _json
+
         qname_json = [_json.dumps(nm, ensure_ascii=False,
                                   separators=(",", ":"))
                       for nm in self._names]
@@ -657,12 +661,28 @@ class _GramDistanceRows:
                       [_json.dumps(nm, ensure_ascii=False,
                                    separators=(",", ":"))
                        for nm in self._rnames])
-        iq = self._iq
-        jr = self._jr
-        rows = [segs[t] + qname_json[iq[r]] + ',"reference":'
-                + rname_json[jr[r]] + "}"
-                for r, t in enumerate(inv)]
-        return ("[" + ",".join(rows) + "]").encode("utf-8")
+        return qname_json, rname_json
+
+    def write_json_to(self, w, chunk: int = 1 << 18) -> None:
+        """Stream the serde-compatible JSON array in bounded-memory
+        chunks (the reference's serde_json::to_writer also streams —
+        a max-dist 1.0 run over a big DB emits O(N^2) rows)."""
+        qn, rn = self._name_tables()
+        w.write(b"[")
+        for s0 in range(0, len(self), chunk):
+            s1 = min(s0 + chunk, len(self))
+            payload = ",".join(self._row_strings(s0, s1, qn, rn))
+            if s0:
+                w.write(b",")
+            w.write(payload.encode("utf-8"))
+        w.write(b"]")
+
+    def to_json_bytes(self) -> bytes:
+        import io
+
+        buf = io.BytesIO()
+        self.write_json_to(buf)
+        return buf.getvalue()
 
 
 def output_to(write_fn, output: Optional[str], extension: str) -> None:
@@ -681,10 +701,18 @@ def output_to(write_fn, output: Optional[str], extension: str) -> None:
             write_fn(f)
 
 
+def _write_dist_json(w, distances) -> None:
+    """Stream Vec<SketchDistance> JSON: Gram-engine results serialize
+    straight from their arrays in bounded-memory chunks."""
+    if isinstance(distances, _GramDistanceRows):
+        distances.write_json_to(w)
+    else:
+        w.write(_dist_json_bytes(distances))
+
+
 def _dist_json_bytes(distances) -> bytes:
     """serde_json-compatible compact JSON for Vec<SketchDistance>
-    (mod.rs:31-43 field names/order). Gram-engine results serialize
-    straight from their arrays."""
+    (mod.rs:31-43 field names/order)."""
     import json as _json
 
     if isinstance(distances, _GramDistanceRows):
@@ -774,7 +802,7 @@ def run(argv=None) -> None:
         distances = calc_sketch_distances(
             query_sketches, all_sketches, args.old_dist_mode, max_dist,
             use_device=args.backend != "numpy")
-        output_to(lambda w: w.write(_dist_json_bytes(distances)),
+        output_to(lambda w: _write_dist_json(w, distances),
                   args.output_file, ".json")
 
     elif args.subcommand == "hist":
