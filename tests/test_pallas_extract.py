@@ -685,3 +685,35 @@ def test_sketch_step_tier_d_scaled():
                                               dtype=np.uint64))
     assert got[:keep_n] == want[:keep_n]
     assert len(want) >= keep_n
+
+
+def test_sketch_step_tier_d_composite_inputs():
+    """Tier D driven through composite (lo, hi) u32 planes — the
+    production parser/bench operand layout — must match the classic
+    operand result bit for bit."""
+    import jax.numpy as jnp
+
+    from finch_tpu.ops import bottomk
+
+    k, seed, size = 21, 0, 256
+    b = 2 * pe.COLH * pe.CHUNK_W
+    rng = np.random.default_rng(61)
+    distinct = rng.integers(0, 4 ** k, size=b // 64, dtype=np.uint64)
+    packed = np.tile(distinct, 64)
+    rc = np.tile(rng.integers(0, 2, size=b // 64, dtype=np.uint8), 64)
+    comp = (packed << np.uint64(1)) | rc
+    clo = (comp & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    chi = (comp >> np.uint64(32)).astype(np.uint32)
+
+    s_classic = bottomk.empty_state(size)
+    s_classic, _ = bottomk.sketch_step(
+        s_classic, jnp.asarray(packed), jnp.asarray(rc), jnp.uint32(b),
+        jnp.uint64(0), k=k, seed=seed, has_max_hash=False,
+        use_kernel=True, kernel_interpret=True)
+    s_comp = bottomk.empty_state(size)
+    s_comp, _ = bottomk.sketch_step(
+        s_comp, jnp.asarray(clo), jnp.asarray(chi), jnp.uint32(b),
+        jnp.uint64(0), k=k, seed=seed, has_max_hash=False,
+        use_kernel=True, composite=True, kernel_interpret=True)
+    assert _state_tuples(s_classic, k, seed) == \
+        _state_tuples(s_comp, k, seed)
