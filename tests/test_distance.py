@@ -289,3 +289,54 @@ def test_gram_cli_path_fuzz_vs_serial():
         assert got == want
 
     run()
+
+
+def test_batched_query_db_fuzz_vs_serial():
+    """Randomized query-vs-DB workloads through _calc_distances_batched
+    (vectorized chunked path, lazy rows) vs the serial per-pair loop."""
+    from hypothesis import given, settings, strategies as st
+
+    from finch_tpu.cli import _calc_distances_batched
+    from finch_tpu.core.distance import distance
+    from finch_tpu.core.sketch import LazyKmerCounts, Sketch
+    from finch_tpu.models.params import FilterParams, SketchParams
+
+    params = SketchParams.mash(kmers_to_sketch=12, final_size=12,
+                               no_strict=True)
+
+    def mk(rng, nm, pool):
+        m = int(rng.integers(0, 12))
+        hs = np.sort(rng.choice(pool, size=m, replace=False)) if m \
+            else np.empty(0, dtype=np.uint64)
+        c = rng.integers(1, 4, size=m, dtype=np.uint32)
+        return Sketch(name=nm, seq_length=2, num_valid_kmers=4, comment="",
+                      hashes=LazyKmerCounts(hs, [b""] * m, c, c // 2),
+                      filter_params=FilterParams(filter_on=False),
+                      sketch_params=params)
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.integers(0, 10 ** 6), st.integers(1, 4), st.integers(2, 7),
+           st.sampled_from([0.2, 0.8, 1.0]))
+    def run(seed, nq, nr, max_dist):
+        rng = np.random.default_rng(seed)
+        pool = rng.choice(1 << 44, size=40, replace=False).astype(np.uint64)
+        queries = [mk(rng, f"q{i}", pool) for i in range(nq)]
+        refs = [mk(rng, f"r{i}", pool) for i in range(nr)]
+        # a query placed into the DB under the same name: self-skip path
+        refs.append(queries[0])
+        got = [(d.query, d.reference, d.containment, d.jaccard,
+                d.mash_distance, d.common_hashes, d.total_hashes)
+               for d in _calc_distances_batched(queries, refs, max_dist)]
+        want = []
+        for ref in refs:
+            for q in queries:
+                if q.name == ref.name and q == ref:
+                    continue
+                d = distance(q, ref)
+                if d.mash_distance <= max_dist:
+                    want.append((d.query, d.reference, d.containment,
+                                 d.jaccard, d.mash_distance,
+                                 d.common_hashes, d.total_hashes))
+        assert got == want
+
+    run()
