@@ -329,3 +329,15 @@ def _streaming_compare_counts(reference, query):
     kurt = (common * q_m4 / (q_m2 * q_m2) - 3.0) if q_m2 else math.nan
     return (common, ref_pos, query_pos, ref_count, query_count, var,
             skew, kurt)
+
+
+def test_python_shim_sketch_file_arbitrary_k():
+    """python.rs sketch_file has no k bound (u8 via the CLI only); the
+    compat shim must sketch at k >= 64 through the xwide path."""
+    import finch
+
+    ms = finch.sketch_file("/root/reference/cli/tests/data/query.fa",
+                           n_hashes=10, kmer_length=101, filter=False)
+    s = ms[0]
+    assert len(s.hashes) == 10
+    assert len(s.hashes[0][1]) == 101  # (hash, kmer, count, extra) tuples
