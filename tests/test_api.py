@@ -336,8 +336,7 @@ def test_python_shim_sketch_file_arbitrary_k():
     compat shim must sketch at k >= 64 through the xwide path."""
     import finch
 
-    ms = finch.sketch_file("/root/reference/cli/tests/data/query.fa",
-                           n_hashes=10, kmer_length=101, filter=False)
-    s = ms[0]
+    s = finch.sketch_file("/root/reference/cli/tests/data/query.fa",
+                          n_hashes=10, kmer_length=101, filter=False)
     assert len(s.hashes) == 10
     assert len(s.hashes[0][1]) == 101  # (hash, kmer, count, extra) tuples
