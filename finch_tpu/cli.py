@@ -772,6 +772,13 @@ def run(argv=None) -> None:
         build_cli().print_help()
         raise SystemExit(2)
 
+    # clap declares -O conflicts_with -o (cli.rs:213); argparse has no
+    # native conflict groups, so enforce it here
+    if getattr(args, "std_out", False) and getattr(args, "output_file",
+                                                   None):
+        raise CliError(
+            "The argument '--std-out' cannot be used with '--output'")
+
     if args.subcommand == "sketch":
         if args.binary_format and args.mash_binary_format:
             raise CliError("Can't output both binary formats")

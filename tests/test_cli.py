@@ -374,3 +374,19 @@ def test_dist_pairwise_survivors_duplicate_name_skip(tmp_path):
                 want.append(d.to_json_dict())
     assert rows == want
     assert any(r["query"] == "b" and r["reference"] == "b" for r in rows)
+
+
+def test_std_out_conflicts_with_output_file(tmp_path):
+    """clap: std_out.conflicts_with("output_file") (cli.rs:200-215) —
+    both flags together must error, not silently pick one."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "finch_tpu.cli", "sketch", "-N", "-O",
+         "-o", str(tmp_path / "x"), "/root/reference/cli/tests/data/query.fa"],
+        capture_output=True, text=True,
+        env={**__import__("os").environ, "PYTHONPATH": "/root/repo"},
+        cwd="/root/repo")
+    assert proc.returncode != 0
+    assert "cannot be used with" in proc.stderr
