@@ -793,10 +793,14 @@ def run(argv=None) -> None:
             generate_sketch_files(args, file_ext)
 
     elif args.subcommand == "dist":
+        # clap declares pairwise/queries mutually conflicting
+        # (cli.rs:71-85), so the reference binary rejects the combination
+        # before main.rs:92-107's pairwise-first branch can ever run
+        if args.pairwise and args.queries:
+            raise CliError(
+                "The argument '--pairwise' cannot be used with '--queries'")
         max_dist = _get_float(args, "max_distance", 1.0, 1.0)
         all_sketches = parse_mash_files(args)
-        # the reference silently prefers --pairwise when both are given
-        # (main.rs:92-107) — match it for scripted-pipeline parity
         if args.pairwise:
             query_sketches = list(all_sketches)
         elif args.queries:

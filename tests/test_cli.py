@@ -179,10 +179,13 @@ def test_dist_pairwise_and_queries(tmp_path):
     dists = json.loads(proc.stdout)
     assert len(dists) == 1
     assert dists[0]["query"] == str(fa2)
-    # both given: --pairwise silently wins (reference main.rs:92-107)
+    # both given: clap rejects the combination outright (cli.rs:71-85
+    # conflicts_with — main.rs:92-107's pairwise-first branch is
+    # unreachable in the reference binary)
     proc = finch("dist", "-p", "-q", str(fa2), "--n-hashes", "10", "-N",
-                 QUERY_FA, str(fa2))
-    assert len(json.loads(proc.stdout)) == 2
+                 QUERY_FA, str(fa2), check=False)
+    assert proc.returncode != 0
+    assert b"cannot be used with" in proc.stderr
 
 
 def test_hist_json():
