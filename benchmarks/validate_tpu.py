@@ -13,6 +13,88 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def compile_canary() -> None:
+    """AOT-lower + compile every shipped Pallas kernel at production
+    shapes on the real backend, BEFORE any numeric section runs. A kernel
+    that stops compiling (e.g. the round-3 Mosaic trunci i8->i1 regression
+    in the dedup kernel, BENCH_r03) must fail here loudly, not silently
+    via a bench retry."""
+    import jax
+    import jax.numpy as jnp
+
+    from finch_tpu.ops import pallas_extract as pe
+
+    b = 1 << 22  # the bench/engine production batch
+    u32v = jax.ShapeDtypeStruct((b,), jnp.uint32)
+    u32s = jax.ShapeDtypeStruct((), jnp.uint32)
+    for name, fn, args in (
+        ("extract_candidates", lambda vl, vh, th, tl:
+            pe.extract_candidates(vl, vh, th, tl, k=21, seed=0),
+         (u32v, u32v, u32s, u32s)),
+        ("dedup_candidates", lambda vl, vh, hl, hh, th, tl:
+            pe.dedup_candidates(vl, vh, hl, hh, th, tl, k=21, seed=0),
+         (u32v, u32v, u32v, u32v, u32s, u32s)),
+    ):
+        jax.jit(fn).lower(*args).compile()
+        print(f"compile canary: {name} @ b={b} OK")
+
+
+def tier_d_section(rng) -> None:
+    """Tier-D dedup kernel on real hardware: a 64x-duplicate-burst stream
+    at a steady-state-like admission threshold must (a) keep the overflow
+    flag clean and (b) produce weighted heads equal to the numpy
+    bruteforce multiset. Matches the duplicate-count contract of the
+    reference's streaming heap (mash.rs:34-63: counts exact under any
+    duplication)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from finch_tpu.native import murmur3_packed
+    from finch_tpu.ops import pallas_extract as pe
+
+    k, seed = 21, 0
+    b = 1 << 22  # 64 chunks at COLH=32, CHUNK_W=2048
+    assert pe.supports_dedup(k, b), "tier-D preconditions regressed"
+    distinct = rng.integers(0, 4 ** k, size=b // 64, dtype=np.uint64)
+    packed = np.tile(distinct, 64)
+    rc = np.tile(rng.integers(0, 2, size=b // 64, dtype=np.uint64), 64)
+    v = (packed << np.uint64(1)) | rc
+    v[-17:] = np.uint64(0xFFFFFFFFFFFFFFFF)
+    # steady-state-like threshold: ~2.5 expected survivors per column
+    # (the bench's dup64 regime after warm-up). Far above it, per-column
+    # distinct re-occurring heads legitimately overflow DUP_ACC_H and
+    # the flag fires -> tier B/C fallback (covered in interpret tests).
+    thresh = np.uint64(int(0.005 * 2 ** 64))
+    vlo = jnp.asarray((v & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    vhi = jnp.asarray((v >> np.uint64(32)).astype(np.uint32))
+    th = jnp.uint32(int(thresh >> np.uint64(32)))
+    tl = jnp.uint32(int(thresh & np.uint64(0xFFFFFFFF)))
+    _c, _s, khl, khh, _covf, _aovf = pe.extract_candidates(
+        vlo, vhi, th, tl, k=k, seed=seed)
+    cand, dovf = pe.dedup_candidates(vlo, vhi, khl, khh, th, tl,
+                                     k=k, seed=seed)
+    assert int(dovf) == 0, "tier-D overflowed at steady state (dovf=1)"
+
+    real = v != np.uint64(0xFFFFFFFFFFFFFFFF)
+    hashes = murmur3_packed(packed, k, seed)
+    keep = real & (hashes <= thresh)
+    want = {}
+    for comp in (v[keep] + np.uint64(1)).tolist():
+        want[comp] = want.get(comp, 0) + 1
+    shift = np.uint64(2 * k + 2)
+    mask = (np.uint64(1) << shift) - np.uint64(1)
+    got = {}
+    carr = np.asarray(cand)
+    for e in carr[carr != np.uint64(0xFFFFFFFFFFFFFFFF)]:
+        comp = int(e & mask)
+        assert comp not in got, "duplicate head emitted"
+        got[comp] = int(e >> shift) + 1
+    assert got == want, (
+        f"tier-D DIVERGENCE: {len(got)} heads vs {len(want)} expected")
+    print(f"tier-D dedup kernel: {len(want)} weighted heads exact on "
+          f"hardware (64x burst, dovf=0)")
+
+
 def main() -> None:
     import numpy as np
 
@@ -20,7 +102,9 @@ def main() -> None:
     from finch_tpu.models.engine import JaxEngine, NumpyEngine
     from finch_tpu.models.params import SketchParams
 
+    compile_canary()
     rng = np.random.default_rng(42)
+    tier_d_section(rng)
     for cap, final in ((2000, 500), (200000, 1000)):
         params = SketchParams.mash(kmers_to_sketch=cap, final_size=final,
                                    no_strict=True)

@@ -67,7 +67,13 @@ U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 def auto_use_kernel() -> bool:
     """True when the fused Pallas extraction can run (an accelerator is the
-    default backend); callers pass this as sketch_step's use_kernel."""
+    default backend); callers pass this as sketch_step's use_kernel.
+
+    FINCH_TPU_KERNEL=0 is the emergency kill switch (bench.py's staged
+    retry uses it as the last stage): the XLA two-stage path takes over
+    with identical results."""
+    if os.environ.get("FINCH_TPU_KERNEL", "1") == "0":
+        return False
     if not pallas_extract.HAVE_PALLAS:
         return False
     try:

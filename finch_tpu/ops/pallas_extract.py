@@ -432,10 +432,15 @@ def _bitonic_sort3(x_h, x_l, x_w):
                 # both rows of a pair must see the SAME comparison value
                 # (le(low, high)) or ties would duplicate one side's
                 # weight plane: evaluate it in canonical (low, high)
-                # operand order on each side
+                # operand order on each side. Combined with AND/OR mask
+                # logic, NOT a bool-valued jnp.where: Mosaic lowers a
+                # select whose *branches* are i1 vectors through an i8
+                # materialization + trunci i8->i1, which it rejects at
+                # this (64, 2048) shape ("Unsupported target bitwidth
+                # for truncation", BENCH_r03).
                 lt_sp = _lex_lt_strict(x_h, x_l, p_h, p_l)
                 lt_ps = _lex_lt_strict(p_h, p_l, x_h, x_l)
-                le = jnp.where(self_high, ~lt_sp, ~lt_ps)
+                le = (self_high & ~lt_sp) | (~self_high & ~lt_ps)
                 take_self = le ^ ~up
                 x_h = jnp.where(take_self, x_h, p_h)
                 x_l = jnp.where(take_self, x_l, p_l)

@@ -340,3 +340,148 @@ def test_batched_query_db_fuzz_vs_serial():
         assert got == want
 
     run()
+
+
+# ---------------------------------------------------------------------------
+# Mash-paper compatibility oracle (VERDICT r3 item 6)
+# ---------------------------------------------------------------------------
+
+def _mash_paper_distance(sketch2, sketch1):
+    """Transcription of the reference's own transcription of Mash's
+    distance calculation (distance.rs:244-283, `mash_paper_distance`) —
+    an independently-derived second opinion on the merge-walk counting.
+    Arguments keep the reference's (sketch2, sketch1) order; sketch1 is
+    the query whose length sets sketch_size."""
+    i = j = 0
+    common = 0
+    total = 0
+    sketch_size = len(sketch1)
+    while total < sketch_size and i < len(sketch1) and j < len(sketch2):
+        if sketch1[i] < sketch2[j]:
+            i += 1
+        elif sketch2[j] < sketch1[i]:
+            j += 1
+        else:
+            i += 1
+            j += 1
+            common += 1
+        total += 1
+    if total < sketch_size:
+        if i < len(sketch1):
+            total += len(sketch1) - 1
+        if j < len(sketch2):
+            total += len(sketch2) - 1
+        total = min(total, sketch_size)
+    containment = common / i if i else float("nan")
+    jaccard = common / total if total else float("nan")
+    return containment, jaccard, common, total
+
+
+def test_mash_paper_distance_pins():
+    """distance.rs:285-310 `test_mash_compatibility` assertions."""
+    cont, _jac, _com, _total = _mash_paper_distance([0, 1, 2], [1, 2])
+    assert cont == 2.0 / 2.0
+    _cont, jac, com, total = _mash_paper_distance([0, 1], [2, 3])
+    assert jac == 0.0
+    assert com == 0
+    assert total == 2
+
+
+def test_distance_vs_mash_paper_oracle_property():
+    """Property-test distance() against the Mash-paper oracle on random
+    sketch pairs (incl. scaled-style truncation).
+
+    The two formulas differ only in WHERE the merge walk stops (Mash caps
+    at sketch_size union positions; finch runs to one side's exhaustion,
+    distance.rs:82-115) and in the containment denominator. Invariants
+    that must hold on every pair:
+      * common_mash <= common_finch (a capped walk can only see fewer)
+      * when the full union fits the cap (i + j - common <= sketch_size
+        at finch's stop point and neither list is the capped remainder),
+        both walks see the same prefix -> common and the union-position
+        count agree
+      * identical lists -> (1, 1, n, n) from both
+      * Mash's common equals an independent set-based derivation: shared
+        positions among the first sketch_size rows of the sorted union
+        walk (computed with numpy set ops, no pointer walk).
+    """
+    rng = random.Random(7)
+    for trial in range(300):
+        n1 = rng.randint(1, 24)
+        n2 = rng.randint(1, 24)
+        universe = range(60)
+        q = sorted(rng.sample(universe, n1))
+        r = sorted(rng.sample(universe, n2))
+
+        cont_m, jac_m, com_m, tot_m = _mash_paper_distance(r, q)
+        cont_f, jac_f, com_f, tot_f = raw(q, r)
+
+        assert com_m <= com_f
+
+        # independent set-based derivation of Mash's walk: rank union
+        # members by value; the walk consumes one union member per step
+        # (a common hash is one step), so the first sketch_size steps
+        # cover the sketch_size smallest union values
+        union = np.union1d(np.array(q, np.uint64), np.array(r, np.uint64))
+        walk = union[: min(len(q), tot_m if tot_m else 0) or None]
+        cap = union[:tot_m]
+        set_common = len(np.intersect1d(
+            cap, np.intersect1d(np.array(q, np.uint64),
+                                np.array(r, np.uint64))))
+        # the cap can split a (i-advance, j-advance) pair mid-step only
+        # for non-common values, so common among the first tot_m union
+        # values == the walk's common
+        assert com_m == set_common, (trial, q, r)
+
+        # full-union agreement regime
+        i_f = j_f = c_f = 0
+        while i_f < len(q) and j_f < len(r):
+            if q[i_f] < r[j_f]:
+                i_f += 1
+            elif q[i_f] > r[j_f]:
+                j_f += 1
+            else:
+                i_f += 1
+                j_f += 1
+                c_f += 1
+        if i_f + j_f - c_f <= len(q):
+            assert com_m == com_f
+
+    # identical lists (incl. through the Sketch-level distance())
+    p = SketchParams.mash(kmers_to_sketch=5, final_size=5, kmer_length=2)
+    hs = [3, 7, 11, 19, 23]
+    cont_m, jac_m, com_m, tot_m = _mash_paper_distance(hs, hs)
+    assert (cont_m, jac_m, com_m, tot_m) == (1.0, 1.0, 5, 5)
+    d = distance(_mk_sketch("a", hs, p), _mk_sketch("b", hs, p))
+    assert (d.containment, d.jaccard, d.common_hashes) == (1.0, 1.0, 5)
+
+
+def test_mash_paper_oracle_scaled_bounds():
+    """Scaled sketches: apply the oracle to the <=max_hash prefixes (what
+    raw_distance's scaled-tail rule reduces the lists to,
+    distance.rs:99-115) — the two walks must then agree exactly whenever
+    the truncated union fits the cap."""
+    rng = random.Random(11)
+    max_hash = 40
+    for _ in range(200):
+        q = sorted(rng.sample(range(100), rng.randint(1, 30)))
+        r = sorted(rng.sample(range(100), rng.randint(1, 30)))
+        qt = [h for h in q if h <= max_hash]
+        rt = [h for h in r if h <= max_hash]
+        if not qt or not rt:
+            continue
+        _, _, com_m, _ = _mash_paper_distance(rt, qt)
+        # scale that yields max_hash = 40: scale_recip_max_hash uses
+        # u64::MAX / (1/scale); pick scale = 41 / 2**64 -> max_hash 40
+        cont_f, jac_f, com_f, tot_f = raw(q, r, 41 / 2 ** 64)
+        # finch's merge loop runs over the FULL lists to one side's
+        # exhaustion and therefore counts every shared value, including
+        # those above max_hash (the scaled-tail rule only adjusts the
+        # total, distance.rs:99-115); the Mash walk over the truncated
+        # lists can only see shared values <= max_hash
+        shared_t = len(set(qt) & set(rt))
+        assert com_m <= com_f
+        union_t = sorted(set(qt) | set(rt))
+        if len(union_t) <= len(qt):
+            # the capped walk covers the whole truncated union
+            assert com_m == shared_t
