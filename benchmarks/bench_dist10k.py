@@ -81,14 +81,15 @@ def main() -> None:
         dev_h = jnp.asarray(H.reshape(-1))
         dev_s = jnp.asarray(flat_s)
 
-        def run(h):
+        def run(h, int8=False):
             rid, sid, n_shared, _ = _shared_incidences(h, dev_s, cap)
-            common = _gram_accumulate(rid, sid, n_shared, n, page)
+            common = _gram_accumulate(rid, sid, n_shared, n, page,
+                                      int8=int8)
             return common, n_shared
 
         # warm/compile
         common, n_shared = run(dev_h)
-        np.asarray(common[:2, :2])
+        common_base = np.asarray(common)
         best = 9e9
         for rep in range(args.reps):
             h = dev_h ^ jnp.uint64(rng.integers(1, 1 << 40))
@@ -97,6 +98,21 @@ def main() -> None:
             common, n_shared = run(h)
             np.asarray(common[:2, :2])  # host fetch = true barrier
             best = min(best, time.perf_counter() - t0)
+
+        # same-session int8 A/B (the FINCH_TPU_GRAM_INT8 default
+        # decision): identical workload, int8 MXU inputs + int32
+        # accumulation, exactness checked against the bf16/f32 run
+        c8, _ = run(dev_h, int8=True)
+        assert np.array_equal(np.asarray(c8), common_base), \
+            "int8 Gram diverged from bf16/f32"
+        best8 = 9e9
+        for rep in range(args.reps):
+            h = dev_h ^ jnp.uint64(rng.integers(1, 1 << 40))
+            jax.block_until_ready(h)
+            t0 = time.perf_counter()
+            c8, _ = run(h, int8=True)
+            np.asarray(c8[:2, :2])
+            best8 = min(best8, time.perf_counter() - t0)
         # i/j phase (closed-form pointer ends), fully on-device; the
         # result stays device-resident for downstream masking, so the
         # barrier is a slice fetch (a full fetch would time the dev
@@ -113,6 +129,7 @@ def main() -> None:
         t_ij = time.perf_counter() - t0
         results[name] = {
             "device_s": round(best, 3),
+            "device_s_int8": round(best8, 3),
             "ij_device_s": round(t_ij, 3),
             "pairs_per_sec_device": round(n * n / best, 0),
             "pairs_per_sec_total": round(n * n / (best + t_ij), 0),

@@ -187,6 +187,16 @@ def main() -> None:
     db = [np.sort(rng.choice(1 << 48, size=int(rng.integers(50, 300)),
                              replace=False).astype(np.uint64))
           for _ in range(12)]
+    # plant related pairs (~50% shared hashes) so the survivors path
+    # below has real candidates to verify, not a vacuous empty set
+    db[1] = np.sort(np.unique(np.concatenate(
+        [db[0][: len(db[0]) // 2],
+         rng.choice(1 << 48, size=len(db[0]) // 2,
+                    replace=False).astype(np.uint64)])))
+    db[7] = np.sort(np.unique(np.concatenate(
+        [db[6][: 2 * len(db[6]) // 3],
+         rng.choice(1 << 48, size=len(db[6]) // 3,
+                    replace=False).astype(np.uint64)])))
     H, L = pack_db(db)
     common, i_m, j_m = all_pairs_stats(H, L, scale=0.0)
     for qa in range(len(db)):
@@ -217,6 +227,9 @@ def main() -> None:
     surv = all_pairs_survivors(H, L, 0.0, 21.0, 0.3)
     assert surv is not None, "survivors path out of contract unexpectedly"
     iq_s, jr_s, c_s, i_s, j_s = surv
+    assert len(iq_s) >= 4, (
+        "survivors check is vacuous: the planted related pairs must "
+        "produce candidates under max-dist 0.3")
     for x in range(len(iq_s)):
         qa, qb = int(iq_s[x]), int(jr_s[x])
         assert (c_s[x], i_s[x], j_s[x]) == \
