@@ -2,8 +2,10 @@
 its time?
 
 Times, in one session on the real chip (differential N-vs-3N dispatches
-so fixed overheads cancel):
-  1. extract_candidates alone (the main kernel) on the dup64 stream
+so fixed overheads cancel; every dispatch carries a fresh start offset
+so the endpoint's result cache never short-circuits a timing — see the
+axon measurement notes in DESIGN.md):
+  1. extract_candidates alone (the main kernel)
   2. extract + dedup_candidates chained (both kernels, no paging)
   3. the full sketch_step on the dup64 stream (kernels + paging + flush)
   4. the full sketch_step on the uniform stream (reference point)
@@ -53,56 +55,73 @@ def main() -> None:
     th = jnp.uint32(int(0.005 * 2 ** 32))
     tl = jnp.uint32(0)
 
+    def mask_for(i):
+        """Per-step composite xor mask, bench.py's formula: perturbs the
+        packed bits (left of the rc bit), fresh values every step."""
+        m = ((i.astype(jnp.uint64) * jnp.uint64(0x9E3779B97F4A7C15))
+             & jnp.uint64(4 ** k - 1)) << jnp.uint64(1)
+        return ((m & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32),
+                (m >> jnp.uint64(32)).astype(jnp.uint32))
+
     def sync(x):
         return np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[:2]
 
-    def timed(fn, *args):
-        """Differential: time(3N) - time(N) over fori_loop dispatches."""
-        def run(n, *a):
-            return jax.jit(lambda *aa: jax.lax.fori_loop(
-                0, n, lambda i, c: fn(i, c, *aa[1:]), aa[0]),
-                static_argnums=())(*a)
+    def make_timed(fn, carry0, *args):
+        """Differential timing with a running start offset: every
+        dispatch sees fresh step indices, so neither the executable
+        cache nor the endpoint result cache can short-circuit it."""
+        @jax.jit
+        def run(c0, start, nsteps, *a):
+            return jax.lax.fori_loop(
+                start, start + nsteps,
+                lambda i, c: fn(i.astype(jnp.uint32), c, *a), c0)
 
-        sync(run(steps, *args))  # warm/compile
+        state = {"start": 0}
+
+        def timed_once(nsteps):
+            t0 = time.perf_counter()
+            out = run(carry0, jnp.uint32(state["start"]),
+                      jnp.uint32(nsteps), *args)
+            sync(out)
+            state["start"] += nsteps
+            return time.perf_counter() - t0
+
+        sync(run(carry0, jnp.uint32(0), jnp.uint32(steps), *args))
+        sync(run(carry0, jnp.uint32(steps), jnp.uint32(3 * steps), *args))
+        state["start"] = 4 * steps
         best = 9e9
         for _ in range(2):
-            t0 = time.perf_counter()
-            sync(run(steps, *args))
-            t1 = time.perf_counter()
-            sync(run(3 * steps, *args))
-            t2 = time.perf_counter()
-            best = min(best, (t2 - t1) - (t1 - t0))
+            t_small = timed_once(steps)
+            t_big = timed_once(3 * steps)
+            best = min(best, t_big - t_small)
         return best / (2 * steps)
 
-    # 1. main kernel alone (fold the ovf flags into a carry so the loop
-    # has a data dependency and can't be elided)
+    # 1. main kernel alone (ovf flags folded into the carry so the loop
+    # has a data dependency)
     def main_only(i, c, vl, vh):
-        m = (i * jnp.uint32(0x9E3779B9))
+        mlo, mhi = mask_for(i)
         _c, _s, _hl, _hh, covf, aovf = pe.extract_candidates(
-            vl ^ m, vh, th, tl, k=k, seed=seed)
+            vl ^ mlo, vh ^ mhi, th, tl, k=k, seed=seed)
         return c + covf + aovf
 
-    t1u = timed(main_only, jnp.int32(0), u_lo, u_hi)
-    t1d = timed(main_only, jnp.int32(0), d_lo, d_hi)
+    t1u = make_timed(main_only, jnp.int32(0), u_lo, u_hi)
+    t1d = make_timed(main_only, jnp.int32(0), d_lo, d_hi)
 
     # 2. main + dedup chained
     def both(i, c, vl, vh):
-        m = (i * jnp.uint32(0x9E3779B9))
-        vlx = vl ^ m
+        mlo, mhi = mask_for(i)
+        vlx, vhx = vl ^ mlo, vh ^ mhi
         _c, _s, hl, hh, covf, aovf = pe.extract_candidates(
-            vlx, vh, th, tl, k=k, seed=seed)
-        cand, dovf = pe.dedup_candidates(vlx, vh, hl, hh, th, tl,
+            vlx, vhx, th, tl, k=k, seed=seed)
+        cand, dovf = pe.dedup_candidates(vlx, vhx, hl, hh, th, tl,
                                          k=k, seed=seed)
         return c + covf + aovf + dovf + cand[0].astype(jnp.int32)
 
-    t2d = timed(both, jnp.int32(0), d_lo, d_hi)
+    t2d = make_timed(both, jnp.int32(0), d_lo, d_hi)
 
-    # 3/4. full sketch_step
+    # 3/4. full sketch_step, bench.py's exact protocol
     def step(i, state, vl, vh):
-        m = ((i.astype(jnp.uint64) * jnp.uint64(0x9E3779B97F4A7C15))
-             & jnp.uint64(4 ** k - 1)) << jnp.uint64(1)
-        mlo = (m & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-        mhi = (m >> jnp.uint64(32)).astype(jnp.uint32)
+        mlo, mhi = mask_for(i)
         ns, _ = bottomk.sketch_step(
             state, vl ^ mlo, vh ^ mhi, jnp.uint32(batch), jnp.uint64(0),
             k=k, seed=seed, has_max_hash=False,
@@ -112,17 +131,15 @@ def main() -> None:
     def warm_state(vl, vh):
         s = bottomk.empty_state(cap)
         run8 = jax.jit(lambda st, a, b: jax.lax.fori_loop(
-            0, 40, lambda i, c: step(jnp.uint32(i), c, a, b), st))
+            0, 8, lambda i, c: step(jnp.uint32(i), c, a, b), st))
         s = run8(s, vl, vh)
         sync(s)
         return s
 
     su = warm_state(u_lo, u_hi)
-    t3u = timed(lambda i, c, a, b: step(i.astype(jnp.uint32), c, a, b),
-                su, u_lo, u_hi)
+    t3u = make_timed(step, su, u_lo, u_hi)
     sd = warm_state(d_lo, d_hi)
-    t3d = timed(lambda i, c, a, b: step(i.astype(jnp.uint32), c, a, b),
-                sd, d_lo, d_hi)
+    t3d = make_timed(step, sd, d_lo, d_hi)
 
     print(json.dumps({
         "metric": "dup64_step_breakdown_ms",

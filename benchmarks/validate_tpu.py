@@ -25,8 +25,10 @@ def compile_canary() -> None:
     from finch_tpu.ops import pallas_extract as pe
 
     b = 1 << 22  # the bench/engine production batch
+    slab_rows = (b // (pe.COLH * pe.CHUNK_W)) * pe.ROWS_OUT * pe.CHUNK_W
     u32v = jax.ShapeDtypeStruct((b,), jnp.uint32)
     u32s = jax.ShapeDtypeStruct((), jnp.uint32)
+    u64slab = jax.ShapeDtypeStruct((slab_rows,), jnp.uint64)
     for name, fn, args in (
         ("extract_candidates", lambda vl, vh, th, tl:
             pe.extract_candidates(vl, vh, th, tl, k=21, seed=0),
@@ -34,6 +36,9 @@ def compile_canary() -> None:
         ("dedup_candidates", lambda vl, vh, hl, hh, th, tl:
             pe.dedup_candidates(vl, vh, hl, hh, th, tl, k=21, seed=0),
          (u32v, u32v, u32v, u32v, u32s, u32s)),
+        ("dedup_slab_candidates", lambda s:
+            pe.dedup_slab_candidates(s, k=21),
+         (u64slab,)),
     ):
         jax.jit(fn).lower(*args).compile()
         print(f"compile canary: {name} @ b={b} OK")
@@ -69,11 +74,14 @@ def tier_d_section(rng) -> None:
     vhi = jnp.asarray((v >> np.uint64(32)).astype(np.uint32))
     th = jnp.uint32(int(thresh >> np.uint64(32)))
     tl = jnp.uint32(int(thresh & np.uint64(0xFFFFFFFF)))
-    _c, _s, khl, khh, _covf, _aovf = pe.extract_candidates(
+    _c, slab, khl, khh, covf, _aovf = pe.extract_candidates(
         vlo, vhi, th, tl, k=k, seed=seed)
     cand, dovf = pe.dedup_candidates(vlo, vhi, khl, khh, th, tl,
                                      k=k, seed=seed)
     assert int(dovf) == 0, "tier-D overflowed at steady state (dovf=1)"
+    assert int(covf) == 0, "chunk-column overflow at steady state"
+    cand2, d2ovf = pe.dedup_slab_candidates(slab, k=k)
+    assert int(d2ovf) == 0, "tier-D2 overflowed at steady state"
 
     real = v != np.uint64(0xFFFFFFFFFFFFFFFF)
     hashes = murmur3_packed(packed, k, seed)
@@ -83,16 +91,17 @@ def tier_d_section(rng) -> None:
         want[comp] = want.get(comp, 0) + 1
     shift = np.uint64(2 * k + 2)
     mask = (np.uint64(1) << shift) - np.uint64(1)
-    got = {}
-    carr = np.asarray(cand)
-    for e in carr[carr != np.uint64(0xFFFFFFFFFFFFFFFF)]:
-        comp = int(e & mask)
-        assert comp not in got, "duplicate head emitted"
-        got[comp] = int(e >> shift) + 1
-    assert got == want, (
-        f"tier-D DIVERGENCE: {len(got)} heads vs {len(want)} expected")
-    print(f"tier-D dedup kernel: {len(want)} weighted heads exact on "
-          f"hardware (64x burst, dovf=0)")
+    for label, arr in (("tier-D", cand), ("tier-D2", cand2)):
+        got = {}
+        carr = np.asarray(arr)
+        for e in carr[carr != np.uint64(0xFFFFFFFFFFFFFFFF)]:
+            comp = int(e & mask)
+            assert comp not in got, "duplicate head emitted"
+            got[comp] = int(e >> shift) + 1
+        assert got == want, (
+            f"{label} DIVERGENCE: {len(got)} heads vs {len(want)}")
+        print(f"{label} dedup kernel: {len(want)} weighted heads exact "
+              "on hardware (64x burst, ovf=0)")
 
 
 def main() -> None:

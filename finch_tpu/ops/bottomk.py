@@ -638,11 +638,16 @@ def _sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
 
         # tier A: the in-kernel accumulator held every survivor — page its
         #   b/64-entry output (the common path).
-        # tier D: a selection tier overflowed (duplicate-heavy stream) —
-        #   the dedup kernel re-selects every survivor from the saved
-        #   hash planes (no per-column extract bound) and collapses
-        #   duplicates into weighted heads on-chip; exact iff its own
+        # tier D2: a selection tier overflowed but no chunk column
+        #   exceeded ROWS_OUT (steady-state duplicate bursts) — the
+        #   slab-dedup kernel collapses duplicates straight from the
+        #   per-chunk slab (b/4 entries, no value/hash plane re-read;
+        #   ~1/6th tier D's arithmetic). Exact iff covf==0 and its own
         #   flag stays clean.
+        # tier D: D2 unavailable/overflowed (warm thresholds, extreme
+        #   in-chunk duplication) — the full dedup kernel re-selects
+        #   every survivor from the saved hash planes (no per-column
+        #   extract bound); exact iff its own flag stays clean.
         # tier B: dedup also overflowed but no chunk column exceeded
         #   ROWS_OUT — page the per-chunk slab with run aggregation.
         # tier C: a chunk column overflowed too (cold state / extreme
@@ -656,7 +661,24 @@ def _sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
         # them before the accumulator ever sees them), so covf!=0 must
         # force tier C (not B) when dedup cannot take the batch.
         dirty = (covf | aovf) != 0
+        n_d = pallas_extract.DUP_ACC_H * pallas_extract.CHUNK_W
         if dedup_tier and pallas_extract.supports_dedup(k, b):
+            if pallas_extract.supports_dedup_slab(k, b):
+                def _run_d2(_):
+                    return pallas_extract.dedup_slab_candidates(
+                        slab, k=k, interpret=kernel_interpret)
+
+                def _skip_d2(_):
+                    return (jnp.full((n_d,), U64_MAX, jnp.uint64),
+                            jnp.int32(1))
+
+                cand_d2, d2ovf = jax.lax.cond(
+                    dirty & (covf == 0), _run_d2, _skip_d2, jnp.int32(0))
+                d2_ok = dirty & (covf == 0) & (d2ovf == 0)
+            else:
+                cand_d2 = jnp.full((n_d,), U64_MAX, jnp.uint64)
+                d2_ok = jnp.zeros((), bool)
+
             def _run_dedup(_):
                 return pallas_extract.dedup_candidates(
                     vlo, vhi, kh_lo, kh_hi,
@@ -665,17 +687,17 @@ def _sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
                     interpret=kernel_interpret)
 
             def _skip_dedup(_):
-                n_d = pallas_extract.DUP_ACC_H * pallas_extract.CHUNK_W
                 return (jnp.full((n_d,), U64_MAX, jnp.uint64),
                         jnp.int32(1))
 
-            cand_d, dovf = jax.lax.cond(dirty, _run_dedup, _skip_dedup,
-                                        jnp.int32(0))
+            cand_d, dovf = jax.lax.cond(dirty & ~d2_ok, _run_dedup,
+                                        _skip_dedup, jnp.int32(0))
             tier = jnp.where(
                 ~dirty, jnp.int32(0),
-                jnp.where(dovf == 0, jnp.int32(3),
-                          jnp.where(covf != 0, jnp.int32(2),
-                                    jnp.int32(1))))
+                jnp.where(d2_ok, jnp.int32(4),
+                          jnp.where(dovf == 0, jnp.int32(3),
+                                    jnp.where(covf != 0, jnp.int32(2),
+                                              jnp.int32(1)))))
             (state4, spill, fill, below) = jax.lax.switch(
                 tier,
                 (tier_a,
@@ -683,6 +705,8 @@ def _sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
                                         compact=spill_compact),
                  run_two_stage_kh,
                  lambda c: stage2_pages(c, cand_d,
+                                        compact=spill_compact),
+                 lambda c: stage2_pages(c, cand_d2,
                                         compact=spill_compact)),
                 carry0)
         else:

@@ -596,6 +596,205 @@ def _dedup_kernel(k: int, seed: int, nchunks: int, wshift: int,
     )
 
 
+# ---------------------------------------------------------------------------
+# slab-dedup kernel (tier D2): the steady-state duplicate-burst fast path
+#
+# When no chunk column exceeded ROWS_OUT survivors (covf == 0 — true at
+# steady state even on a 64x-duplicate burst, where survivors are ~2-3
+# lanes per column-chunk), the main kernel's per-chunk SLAB already
+# contains every survivor as spill-encoded composites. Tier D2 collapses
+# duplicates straight from the slab: it stages DUP_GROUP chunks' slab
+# rows (DUP_GROUP * ROWS_OUT rows, already in HBM — no value/hash plane
+# re-read, no threshold, no murmur), concatenates the weighted
+# accumulator, and runs ONE bitonic sort3 + segmented run-sum per group.
+# Same output encoding and paging as tier D at ~1/6th the arithmetic
+# (ablation r4: the full-plane dedup kernel costs 2.4 ms/step at b=4M;
+# the slab holds b/4 entries and sorts in A+GROUP*8-row working sets).
+# Exact iff d2ovf == 0: a column whose weighted heads exceed DUP_ACC_H
+# rows after a group merge, or a count outgrowing the weight field,
+# trips the flag and the caller falls back to tier D.
+# ---------------------------------------------------------------------------
+
+DUP_GROUP = 4  # chunks staged per sort3; W2 = DUP_ACC_H + GROUP*ROWS_OUT
+
+
+def _dedup_slab_kernel(nchunks: int, wshift: int,
+                       slab_lo_hbm, slab_hi_hbm,
+                       out_lo_hbm, out_hi_hbm, ovf_ref):
+    A = DUP_ACC_H
+    G = DUP_GROUP * ROWS_OUT  # staged slab rows per group
+    ngroups = nchunks // DUP_GROUP
+
+    def body(slo, shi, alo, ahi, aw, sem_in, sem_o0, sem_o1):
+        def start_in(gi, slot):
+            off = gi * jnp.int32(G)
+            pltpu.make_async_copy(
+                slab_lo_hbm.at[pl.ds(off, G), :], slo.at[slot],
+                sem_in.at[slot, jnp.int32(0)]).start()
+            pltpu.make_async_copy(
+                slab_hi_hbm.at[pl.ds(off, G), :], shi.at[slot],
+                sem_in.at[slot, jnp.int32(1)]).start()
+
+        def wait_in(gi, slot):
+            off = gi * jnp.int32(G)
+            pltpu.make_async_copy(
+                slab_lo_hbm.at[pl.ds(off, G), :], slo.at[slot],
+                sem_in.at[slot, jnp.int32(0)]).wait()
+            pltpu.make_async_copy(
+                slab_hi_hbm.at[pl.ds(off, G), :], shi.at[slot],
+                sem_in.at[slot, jnp.int32(1)]).wait()
+
+        start_in(jnp.int32(0), jnp.int32(0))
+        alo[...] = jnp.full((A, CHUNK_W), U32_MAX, jnp.uint32)
+        ahi[...] = jnp.full((A, CHUNK_W), U32_MAX, jnp.uint32)
+        aw[...] = jnp.zeros((A, CHUNK_W), jnp.uint32)
+
+        def group(gi, dovf):
+            slot = jax.lax.rem(gi, jnp.int32(2))
+            nslot = jax.lax.rem(gi + jnp.int32(1), jnp.int32(2))
+            wait_in(gi, slot)
+
+            @pl.when(gi + jnp.int32(1) < jnp.int32(ngroups))
+            def _():
+                start_in(gi + jnp.int32(1), nslot)
+
+            clo = slo[slot]
+            chi = shi[slot]
+            # slab rows are already spill-encoded (composite + 1, pads
+            # U64_MAX); row order within a chunk is descending but the
+            # full sort makes order irrelevant
+            real_new = ~((chi == U32_MAX) & (clo == U32_MAX))
+            cw = real_new.astype(jnp.uint32)
+
+            W2 = A + G
+            x_h = jnp.concatenate([ahi[...], chi], 0)
+            x_l = jnp.concatenate([alo[...], clo], 0)
+            x_w = jnp.concatenate([aw[...], cw], 0)
+            x_h, x_l, x_w = _bitonic_sort3(x_h, x_l, x_w)
+
+            # segmented run-count sum + head selection (identical to
+            # tier D's collapse; runs here are <= DUP_GROUP slab copies
+            # + 1 accumulator head, but pathological in-chunk duplicates
+            # can chain longer, so run the full doubling scan)
+            d = 1
+            while d < W2:
+                nh = _shift_up(x_h, d, U32_MAX)
+                nl = _shift_up(x_l, d, U32_MAX)
+                nw = _shift_up(x_w, d, U32(0))
+                same = (nh == x_h) & (nl == x_l) & (
+                    ~((x_h == U32_MAX) & (x_l == U32_MAX)))
+                x_w = x_w + jnp.where(same, nw, U32(0))
+                d <<= 1
+            ph = _shift_down(x_h, 1, U32_MAX)
+            pl2 = _shift_down(x_l, 1, U32_MAX)
+            real = ~((x_h == U32_MAX) & (x_l == U32_MAX))
+            head = real & ~((ph == x_h) & (pl2 == x_l))
+            x_h = jnp.where(head, x_h, U32_MAX)
+            x_l = jnp.where(head, x_l, U32_MAX)
+            x_w = jnp.where(head, x_w, U32(0))
+
+            top_real = (~((x_h[A:, :] == U32_MAX)
+                          & (x_l[A:, :] == U32_MAX))).astype(jnp.int32)
+            dovf = dovf | jnp.max(top_real)
+            if 64 - wshift < 32:
+                wbig = (x_w >= (U32(1) << U32(64 - wshift))).astype(
+                    jnp.int32)
+                dovf = dovf | jnp.max(wbig)
+            alo[...] = x_l[:A, :]
+            ahi[...] = x_h[:A, :]
+            aw[...] = x_w[:A, :]
+            return dovf
+
+        dovf = jax.lax.fori_loop(jnp.int32(0), jnp.int32(ngroups), group,
+                                 jnp.int32(0))
+        ovf_ref[0, 0] = dovf
+        ovf_ref[0, 1] = jnp.int32(0)
+
+        # fold weight - 1 into the spill encoding's top bits (same
+        # emission as tier D — the flush decodes count = weight + 1)
+        w = aw[...]
+        real = ~((ahi[...] == U32_MAX) & (alo[...] == U32_MAX))
+        wm1 = jnp.where(real & (w > U32(0)), w - U32(1), U32(0))
+        if wshift >= 32:
+            add_lo = jnp.zeros_like(wm1)
+            add_hi = wm1 << U32(wshift - 32)
+        else:
+            add_lo = wm1 << U32(wshift)
+            add_hi = wm1 >> U32(32 - wshift)
+        o_l = alo[...] + add_lo
+        carry = (o_l < add_lo).astype(jnp.uint32)
+        o_h = ahi[...] + add_hi + carry
+        alo[...] = jnp.where(real, o_l, U32_MAX)
+        ahi[...] = jnp.where(real, o_h, U32_MAX)
+        c0 = pltpu.make_async_copy(alo, out_lo_hbm, sem_o0)
+        c1 = pltpu.make_async_copy(ahi, out_hi_hbm, sem_o1)
+        c0.start()
+        c1.start()
+        c0.wait()
+        c1.wait()
+
+    pl.run_scoped(
+        body,
+        slo=pltpu.VMEM((2, DUP_GROUP * ROWS_OUT, CHUNK_W), jnp.uint32),
+        shi=pltpu.VMEM((2, DUP_GROUP * ROWS_OUT, CHUNK_W), jnp.uint32),
+        alo=pltpu.VMEM((DUP_ACC_H, CHUNK_W), jnp.uint32),
+        ahi=pltpu.VMEM((DUP_ACC_H, CHUNK_W), jnp.uint32),
+        aw=pltpu.VMEM((DUP_ACC_H, CHUNK_W), jnp.uint32),
+        sem_in=pltpu.SemaphoreType.DMA((2, 2)),
+        sem_o0=pltpu.SemaphoreType.DMA,
+        sem_o1=pltpu.SemaphoreType.DMA,
+    )
+
+
+def supports_dedup_slab(k: int, b: int) -> bool:
+    """Tier-D2 preconditions: tier-D's weight-field bound, chunk count
+    divisible by the staging group, pow2 working rows."""
+    if not supports_dedup(k, b):
+        return False
+    nchunks = b // (COLH * CHUNK_W)
+    n = DUP_ACC_H + DUP_GROUP * ROWS_OUT
+    return nchunks % DUP_GROUP == 0 and (n & (n - 1)) == 0
+
+
+@partial(jax.jit, static_argnames=("k", "interpret"))
+def dedup_slab_candidates(slab, *, k: int, interpret: bool = False):
+    """Weighted dedup over the main kernel's per-chunk slab (tier D2).
+
+    slab: u64[(nchunks*ROWS_OUT)*CHUNK_W] spill-encoded composite+1
+    survivors from extract_candidates (exhaustive iff covf == 0).
+    Returns (cand u64[DUP_ACC_H*CHUNK_W] spill-encoded weighted heads,
+    d2ovf i32). Exact iff the caller's covf == 0 AND d2ovf == 0."""
+    slab_lo = slab.astype(jnp.uint32)
+    slab_hi = (slab >> jnp.uint64(32)).astype(jnp.uint32)
+    rows = slab_lo.shape[0] // CHUNK_W
+    nchunks = rows // ROWS_OUT
+    wshift = 2 * k + 2
+    kern = partial(_dedup_slab_kernel, nchunks, wshift)
+    out_lo, out_hi, ovf = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((DUP_ACC_H, CHUNK_W), jnp.uint32),
+            jax.ShapeDtypeStruct((DUP_ACC_H, CHUNK_W), jnp.uint32),
+            jax.ShapeDtypeStruct((1, 2), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(slab_lo.reshape(rows, CHUNK_W),
+      slab_hi.reshape(rows, CHUNK_W))
+    cand = ((out_hi.astype(jnp.uint64) << jnp.uint64(32))
+            | out_lo.astype(jnp.uint64)).ravel()
+    return cand, ovf[0, 0]
+
+
 def supports_dedup(k: int, b: int) -> bool:
     """Tier-D preconditions: the spill weight field must hold the worst
     in-batch run total (COLH per column per chunk x nchunks), and the

@@ -717,3 +717,126 @@ def test_sketch_step_tier_d_composite_inputs():
         use_kernel=True, composite=True, kernel_interpret=True)
     assert _state_tuples(s_classic, k, seed) == \
         _state_tuples(s_comp, k, seed)
+
+
+@pytest.mark.parametrize("nchunks,dup,frac", [
+    (4, 4, 0.02), (8, 8, 0.02), (4, 1, 0.01),
+])
+def test_dedup_slab_candidates_matches_bruteforce(nchunks, dup, frac):
+    """Tier-D2 kernel: weighted heads straight from the slab must equal
+    the survivor multiset grouped by composite, for burst patterns whose
+    copies spread across chunks (covf == 0 regime)."""
+    import jax.numpy as jnp
+
+    k, seed = 21, 0
+    b = nchunks * pe.COLH * pe.CHUNK_W
+    assert pe.supports_dedup_slab(k, b)
+    rng = np.random.default_rng(5)
+    distinct = rng.integers(0, 4 ** k, size=b // dup, dtype=np.uint64)
+    packed = np.tile(distinct, dup)
+    rc = np.tile(rng.integers(0, 2, size=b // dup, dtype=np.uint64), dup)
+    v = (packed << np.uint64(1)) | rc
+    v[-9:] = U64_MAX
+    thresh = np.uint64(int(frac * 2 ** 64))
+    vlo = jnp.asarray((v & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    vhi = jnp.asarray((v >> np.uint64(32)).astype(np.uint32))
+    th = jnp.uint32(int(thresh >> np.uint64(32)))
+    tl = jnp.uint32(int(thresh & np.uint64(0xFFFFFFFF)))
+    _c, slab, _hl, _hh, covf, _aovf = pe.extract_candidates(
+        vlo, vhi, th, tl, k=k, seed=seed, interpret=True)
+    assert int(covf) == 0  # precondition of the D2 contract
+    cand, d2ovf = pe.dedup_slab_candidates(slab, k=k, interpret=True)
+    assert int(d2ovf) == 0
+
+    real = v != U64_MAX
+    hashes = murmur3_packed(packed, k, seed)
+    keep = real & (hashes <= thresh)
+    want = {}
+    for comp in (v[keep] + np.uint64(1)).tolist():
+        want[comp] = want.get(comp, 0) + 1
+    got = _dedup_decode(np.asarray(cand), k)
+    assert got == want
+
+
+def test_dedup_slab_gate():
+    """supports_dedup_slab: group divisibility and tier-D bounds."""
+    unit = pe.COLH * pe.CHUNK_W
+    assert pe.supports_dedup_slab(21, pe.DUP_GROUP * unit)
+    assert not pe.supports_dedup_slab(21, (pe.DUP_GROUP - 1) * unit)
+    assert not pe.supports_dedup_slab(27, pe.DUP_GROUP * unit)  # wbits
+
+
+@pytest.mark.parametrize("n_copies,expect_d2", [(5, True), (1, False)])
+def test_sketch_step_tier_d2_integration(n_copies, expect_d2):
+    """aovf-without-covf through a full sketch_step: one column floods
+    the accumulator with spread-out copies (<= ROWS_OUT per chunk, so
+    the slab stays exhaustive) while the rest of the batch is sparse.
+    n_copies=5 x 8 chunks = 40 copies of ONE value -> tier D2 collapses
+    them to a weighted head; n_copies=1 x 40 distinct values -> D2's
+    head rows overflow (d2ovf) and the step falls back (tier D) — both
+    must fold into a state identical to NumpyEngine's."""
+    import jax.numpy as jnp
+
+    from finch_tpu.models.engine import NumpyEngine
+    from finch_tpu.models.params import SketchParams
+    from finch_tpu.ops import bottomk
+
+    k, seed, size = 21, 0, 256
+    nchunks = 8
+    b = nchunks * pe.COLH * pe.CHUNK_W
+    assert pe.supports_dedup_slab(k, b)
+    rng = np.random.default_rng(77)
+
+    # batch 1: uniform warm-up (decays the admission threshold)
+    p1 = rng.integers(0, 4 ** k, size=b, dtype=np.uint64)
+    rc1 = rng.integers(0, 2, size=b, dtype=np.uint8)
+
+    # batch 2: sparse uniform background + a column-0 flood of surviving
+    # values placed 5 rows per chunk (rows 0..4, column 0 of each chunk)
+    p2 = rng.integers(0, 4 ** k, size=b, dtype=np.uint64)
+    rc2 = rng.integers(0, 2, size=b, dtype=np.uint8)
+    h1 = murmur3_packed(p1, k, seed)
+    order = np.argsort(h1, kind="stable")
+    thresh = h1[order[size - 1]]  # the warmed admission threshold
+    # flood values = batch-1 k-mers with the smallest hashes: guaranteed
+    # below the warmed threshold (duplicates against the state are fine
+    # and exactly what a burst is)
+    surv = np.unique(p1[order[:80]])[:40]
+    assert len(surv) >= 40
+    flood = np.repeat(surv[:1], 40) if n_copies == 5 else surv[:40]
+    i = 0
+    for c in range(nchunks):
+        for r in range(40 // nchunks):
+            lane = c * (pe.COLH * pe.CHUNK_W) + r * pe.CHUNK_W
+            p2[lane] = flood[i]
+            rc2[lane] = 0
+            i += 1
+
+    # confirm the crafted regime: dirty, covf==0, d2ovf as expected
+    comp = (p2 << np.uint64(1)) | rc2
+    vlo = jnp.asarray((comp & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    vhi = jnp.asarray((comp >> np.uint64(32)).astype(np.uint32))
+    th32 = jnp.uint32(int(thresh >> np.uint64(32)))
+    tl32 = jnp.uint32(int(thresh & np.uint64(0xFFFFFFFF)))
+    _c, slab, _hl, _hh, covf, aovf = pe.extract_candidates(
+        vlo, vhi, th32, tl32, k=k, seed=seed, interpret=True)
+    assert int(covf) == 0
+    assert int(aovf) == 1
+    _cand, d2ovf = pe.dedup_slab_candidates(slab, k=k, interpret=True)
+    assert int(d2ovf) == (0 if expect_d2 else 1)
+
+    state = bottomk.empty_state(size)
+    for p, rc in ((p1, rc1), (p2, rc2)):
+        state, _ = bottomk.sketch_step(
+            state, jnp.asarray(p), jnp.asarray(rc), jnp.uint32(b),
+            jnp.uint64(0), k=k, seed=seed, has_max_hash=False,
+            use_kernel=True, kernel_interpret=True)
+    got = _state_tuples(state, k, seed)
+
+    eng = NumpyEngine(SketchParams.mash(kmers_to_sketch=size,
+                                        final_size=size, no_strict=True))
+    eng.update(p1, rc1)
+    eng.update(p2, rc2)
+    want = list(zip(eng.h.tolist(), eng.c.tolist(), eng.e.tolist(),
+                    eng.pks[0].tolist()))
+    assert got == want
