@@ -136,6 +136,12 @@ def main() -> None:
         "vs_baseline": round(kmers_per_sec / BASELINE_KMERS_PER_SEC, 3),
         "worst_case_dup64": round(worst, 1),
     }
+    from finch_tpu.ops import pallas_extract
+
+    if not pallas_extract.ABSORB:
+        # mark metrics recorded without the weighted (duplicate-
+        # absorbing) accumulator so A/B comparisons stay honest
+        out["absorb"] = False
     if not bottomk.DEDUP_TIER:
         # mark metrics recorded without the tier-D kernel (e.g. the
         # compile-regression retry) so A/B comparisons stay honest
@@ -165,8 +171,10 @@ if __name__ == "__main__":
 
         stages = [
             {},
-            {"FINCH_TPU_DEDUP": "0"},
-            {"FINCH_TPU_DEDUP": "0", "FINCH_TPU_KERNEL": "0"},
+            {"FINCH_TPU_ABSORB": "0"},
+            {"FINCH_TPU_ABSORB": "0", "FINCH_TPU_DEDUP": "0"},
+            {"FINCH_TPU_ABSORB": "0", "FINCH_TPU_DEDUP": "0",
+             "FINCH_TPU_KERNEL": "0"},
         ]
         for knobs in stages:
             env = dict(os.environ, **knobs)

@@ -30,8 +30,13 @@ def compile_canary() -> None:
     u32s = jax.ShapeDtypeStruct((), jnp.uint32)
     u64slab = jax.ShapeDtypeStruct((slab_rows,), jnp.uint64)
     for name, fn, args in (
-        ("extract_candidates", lambda vl, vh, th, tl:
-            pe.extract_candidates(vl, vh, th, tl, k=21, seed=0),
+        ("extract_candidates[weighted]", lambda vl, vh, th, tl:
+            pe.extract_candidates(vl, vh, th, tl, k=21, seed=0,
+                                  weighted=True),
+         (u32v, u32v, u32s, u32s)),
+        ("extract_candidates[unweighted]", lambda vl, vh, th, tl:
+            pe.extract_candidates(vl, vh, th, tl, k=21, seed=0,
+                                  weighted=False),
          (u32v, u32v, u32s, u32s)),
         ("dedup_candidates", lambda vl, vh, hl, hh, th, tl:
             pe.dedup_candidates(vl, vh, hl, hh, th, tl, k=21, seed=0),
@@ -134,9 +139,9 @@ def main() -> None:
         print(f"capacity {cap}: device == oracle over "
               f"{4 * (1 << 21)} kmers (kernel={jx._use_kernel})")
 
-    # 64x-duplicate-burst stream: overflows the kernel's cross-chunk
-    # accumulator so the tier-B slab path (+ duplicate-run aggregation +
-    # weighted spill decode) runs for real; counts must stay exact
+    # 64x-duplicate-burst stream through the full engine. With the
+    # weighted accumulator (round 4) this stays on tier A (in-kernel
+    # absorption); counts must stay exact either way
     params = SketchParams.mash(kmers_to_sketch=200000, final_size=1000,
                                no_strict=True)
     jx = JaxEngine(params, batch_size=1 << 21)
@@ -150,8 +155,33 @@ def main() -> None:
         npe.update(pk, rc)
     a = [(k.hash, k.count, k.extra_count) for k in jx.finalize()]
     b = [(k.hash, k.count, k.extra_count) for k in npe.finalize()]
-    assert a == b, "DIVERGENCE: dup64 tier-B path"
+    assert a == b, "DIVERGENCE: dup64 weighted tier-A path"
     print(f"dup64 burst: device == oracle ({len(a)} entries, counts exact)")
+
+    # same burst with the weighted accumulator DISABLED: the accumulator
+    # overflows and the tier-D2/B fallback chain runs for real on
+    # hardware (the pre-round-4 duplicate path must stay exact too)
+    from finch_tpu.ops import pallas_extract as _pe
+
+    _pe.ABSORB = False
+    try:
+        jx = JaxEngine(params, batch_size=1 << 21)
+        npe = NumpyEngine(params)
+        for i in range(2):
+            n = 1 << 21
+            base = rng.integers(0, 4 ** 21, size=n // 64, dtype=np.uint64)
+            pk = np.tile(base, 64)
+            rc = np.tile(rng.integers(0, 2, size=n // 64,
+                                      dtype=np.uint8), 64)
+            jx.update(pk, rc)
+            npe.update(pk, rc)
+        a = [(k.hash, k.count, k.extra_count) for k in jx.finalize()]
+        b = [(k.hash, k.count, k.extra_count) for k in npe.finalize()]
+        assert a == b, "DIVERGENCE: dup64 unweighted fallback chain"
+        print(f"dup64 burst (absorb off): device == oracle "
+              f"({len(a)} entries)")
+    finally:
+        _pe.ABSORB = True
 
     # scaled scheme on the kernel path (incl. the grow-and-redo rail)
     sparams = SketchParams.scaled(kmers_to_sketch=256, scale=1e-4)

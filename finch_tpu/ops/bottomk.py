@@ -392,33 +392,38 @@ def sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
                 xla_aggregate: bool = False,
                 spill_compact: bool | None = None,
                 dedup_tier: bool | None = None,
+                absorb: bool | None = None,
                 kernel_interpret: bool = False):
     """Fold one batch into the sketch state (see _sketch_step).
 
-    Thin wrapper resolving the spill_compact/dedup_tier defaults OUTSIDE
-    the jit cache so the module-level env flags are always part of the
-    key."""
+    Thin wrapper resolving the spill_compact/dedup_tier/absorb defaults
+    OUTSIDE the jit cache so the module-level env flags are always part
+    of the key."""
     if spill_compact is None:
         spill_compact = SPILL_COMPACT
     if dedup_tier is None:
         dedup_tier = DEDUP_TIER
+    if absorb is None:
+        absorb = pallas_extract.ABSORB
     return _sketch_step(
         state, batch_packed, batch_rc, nvalid, max_hash, k=k, seed=seed,
         has_max_hash=has_max_hash, use_kernel=use_kernel,
         composite=composite, xla_aggregate=xla_aggregate,
         spill_compact=spill_compact, dedup_tier=dedup_tier,
-        kernel_interpret=kernel_interpret)
+        absorb=absorb, kernel_interpret=kernel_interpret)
 
 
 @partial(jax.jit, static_argnames=("k", "seed", "has_max_hash",
                                    "use_kernel", "composite",
                                    "xla_aggregate", "spill_compact",
-                                   "dedup_tier", "kernel_interpret"))
+                                   "dedup_tier", "absorb",
+                                   "kernel_interpret"))
 def _sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
                  *, k: int, seed: int, has_max_hash: bool,
                  use_kernel: bool = False, composite: bool = False,
                  xla_aggregate: bool = False, spill_compact: bool = True,
-                 dedup_tier: bool = True, kernel_interpret: bool = False):
+                 dedup_tier: bool = True, absorb: bool = True,
+                 kernel_interpret: bool = False):
     """Fold one batch of packed canonical k-mers into the sketch state.
 
     Exact for any input (cold state, survivor bursts, duplicates) via
@@ -588,7 +593,8 @@ def _sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
                 vhi,
                 (thresh >> jnp.uint64(32)).astype(jnp.uint32),
                 thresh.astype(jnp.uint32),
-                k=k, seed=seed, interpret=kernel_interpret)
+                k=k, seed=seed, interpret=kernel_interpret,
+                weighted=absorb and pallas_extract.supports_weighted(k))
 
         def accum_pages(carry, flat_cand):
             """Page the accumulator output without a re-sort (see

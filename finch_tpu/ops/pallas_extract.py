@@ -85,6 +85,23 @@ CHUNK_W = 2048  # lanes per chunk = COLH * CHUNK_W
 # power of two >= 2*ROWS_OUT and a multiple of 8 (output tiling).
 ACC_H = int(os.environ.get("FINCH_TPU_KERNEL_ACCH", "32"))
 
+# weighted (duplicate-absorbing) accumulator: each chunk's slab heads that
+# already sit in the accumulator add to a weight plane instead of
+# occupying fresh rows, so duplicate bursts never overflow the
+# accumulator and the whole batch stays on tier A (one kernel, one paging
+# pass). FINCH_TPU_ABSORB=0 compiles the round-3 unweighted accumulator
+# instead (kill switch / A/B knob); k > 25 always uses the unweighted
+# form (the spill encoding's weight field needs >= 12 bits, matching
+# supports_dedup's bound).
+ABSORB = os.environ.get("FINCH_TPU_ABSORB", "1") != "0"
+
+
+def supports_weighted(k: int) -> bool:
+    """Weighted-accumulator precondition: the (weight << (2k+2)) spill
+    field must hold a worst-case in-column run total (same >= 12-bit
+    bound as supports_dedup)."""
+    return 64 - (2 * k + 2) >= 12
+
 # the merge networks and DMA tilings assume these shapes; a bad env
 # override must fail at import, not corrupt results silently (e.g. a
 # non-power-of-two ACC_H breaks the bitonic stages' i^d tile locality
@@ -113,14 +130,14 @@ def _lex_lt(ah, al, bh, bl):
     return (ah < bh) | ((ah == bh) & (al <= bl))
 
 
-def _extract_kernel(k: int, seed: int, nchunks: int,
+def _extract_kernel(k: int, seed: int, nchunks: int, weighted: bool,
                     thi_ref, tlo_ref, vlo_hbm, vhi_hbm,
                     out_lo_hbm, out_hi_hbm, slab_lo_hbm, slab_hi_hbm,
                     hash_lo_hbm, hash_hi_hbm, ovf_ref):
     th = thi_ref[0, 0]
     tl = tlo_ref[0, 0]
 
-    def body(slo, shi, nlo, nhi, alo, ahi, ghlo, ghhi,
+    def body(slo, shi, nlo, nhi, alo, ahi, awt, ghlo, ghhi,
              sem_in, sem_o0, sem_o1, sem_h0, sem_h1):
         def start_in(ci, slot):
             off = ci * jnp.int32(COLH)
@@ -139,6 +156,8 @@ def _extract_kernel(k: int, seed: int, nchunks: int,
         start_in(jnp.int32(0), jnp.int32(0))
         alo[...] = jnp.full((ACC_H, CHUNK_W), U32_MAX, jnp.uint32)
         ahi[...] = jnp.full((ACC_H, CHUNK_W), U32_MAX, jnp.uint32)
+        if weighted:
+            awt[...] = jnp.zeros((ACC_H, CHUNK_W), jnp.uint32)
 
         def chunk(ci, carry):
             covf, aovf = carry
@@ -228,13 +247,82 @@ def _extract_kernel(k: int, seed: int, nchunks: int,
             # cleaner + the full bitonic merge network on values (ref
             # round-trips per stage measurably slow the kernel), write
             # back once.
+            bl, bh = nlo[...], nhi[...]
+            x_l = alo[...]
+            x_h = ahi[...]
+            if weighted:
+                # ---- duplicate-absorbing pre-pass (weighted mode) ----
+                # Invariant: the accumulator's real entries are pairwise
+                # DISTINCT composites (established below by induction), so
+                # a slab lane matches at most one accumulator row and
+                # merge-network ties can only pair pads (weight 0) — the
+                # per-side non-strict comparators below stay weight-safe.
+                x_w = awt[...]
+                # (1) absorb: every slab lane whose composite already sits
+                # in the accumulator adds 1 to that entry's weight plane
+                # and leaves the slab (in-slab copies of an absorbed value
+                # each add 1 — counts stay exact). Full ROWS_OUT x ACC_H
+                # bipartite equality coverage via ROWS_OUT sublane
+                # rotations of the slab against the tiled accumulator —
+                # no sub-8-row extraction (Mosaic tiling hazard).
+                absorbed = jnp.zeros((ROWS_OUT, CHUNK_W), jnp.uint32)
+                for s in range(ROWS_OUT):
+                    # roll(x, s)[i] = x[(i - s) mod ROWS_OUT]: acc row i
+                    # compares against slab row (i - s) mod ROWS_OUT
+                    rl = pltpu.roll(bl, jnp.int32(s), 0)
+                    rh = pltpu.roll(bh, jnp.int32(s), 0)
+                    t_l = jnp.concatenate([rl] * (ACC_H // ROWS_OUT), 0)
+                    t_h = jnp.concatenate([rh] * (ACC_H // ROWS_OUT), 0)
+                    eq = ((x_h == t_h) & (x_l == t_l)
+                          & ~((t_h == U32_MAX) & (t_l == U32_MAX)))
+                    x_w = x_w + eq.astype(jnp.uint32)
+                    # fold the ACC_H/ROWS_OUT row-groups (identical slab
+                    # pairing per i mod ROWS_OUT), rotate back to slab
+                    # row order (e row p holds slab row (p - s) mod R)
+                    e = eq.astype(jnp.uint32)
+                    while e.shape[0] > ROWS_OUT:
+                        h2 = e.shape[0] // 2
+                        e = e[:h2, :] | e[h2:, :]
+                    absorbed = absorbed | pltpu.roll(
+                        e, jnp.int32((ROWS_OUT - s) % ROWS_OUT), 0)
+                ab = absorbed != U32(0)
+                was_pad = (bh == U32_MAX) & (bl == U32_MAX)
+                bw = jnp.where(ab | was_pad, U32(0), U32(1))
+                bh = jnp.where(ab, U32_MAX, bh)
+                bl = jnp.where(ab, U32_MAX, bl)
+                # (2) collapse in-slab duplicate runs into weighted heads.
+                # The slab is descending by composite, so copies of one
+                # value are consecutive; absorption vacates whole runs
+                # (all copies of a value match the accumulator or none
+                # do), so surviving runs stay hole-free and adjacent.
+                dd = 1
+                while dd < ROWS_OUT:
+                    sh_ = _shift_up(bh, dd, U32_MAX)
+                    sl_ = _shift_up(bl, dd, U32_MAX)
+                    sw_ = _shift_up(bw, dd, U32(0))
+                    same = ((sh_ == bh) & (sl_ == bl)
+                            & ~((bh == U32_MAX) & (bl == U32_MAX)))
+                    bw = bw + jnp.where(same, sw_, U32(0))
+                    dd <<= 1
+                ph_ = _shift_down(bh, 1, U32_MAX)
+                pl_ = _shift_down(bl, 1, U32_MAX)
+                isreal = ~((bh == U32_MAX) & (bl == U32_MAX))
+                drop = isreal & (ph_ == bh) & (pl_ == bl)
+                bh = jnp.where(drop, U32_MAX, bh)
+                bl = jnp.where(drop, U32_MAX, bl)
+                bw = jnp.where(drop, U32(0), bw)
+                # (3) restore the descending row order the half-cleaner
+                # needs (absorb/collapse punched MAX holes): ascending
+                # sort of the complemented planes == descending on values
+                # with pads (MAX -> 0 complemented) floating to the front.
+                ch_, cl_, bw = _bitonic_sort3(
+                    bh ^ U32_MAX, bl ^ U32_MAX, bw)
+                bh = ch_ ^ U32_MAX
+                bl = cl_ ^ U32_MAX
             # Half-cleaner: acc tail rows (ascending) vs the descending new
             # slab. Mins stay (the ACC_H smallest of acc ∪ new as a bitonic
             # column sequence); any real value in the maxes means a survivor
             # fell out of the accumulator -> overflow.
-            bl, bh = nlo[...], nhi[...]
-            x_l = alo[...]
-            x_h = ahi[...]
             tl_lo = x_l[ACC_H - ROWS_OUT:, :]
             tl_hi = x_h[ACC_H - ROWS_OUT:, :]
             lt = _lex_lt(tl_hi, tl_lo, bh, bl)
@@ -243,6 +331,10 @@ def _extract_kernel(k: int, seed: int, nchunks: int,
             dropped = (~((hi_drop_h == U32_MAX)
                          & (hi_drop_l == U32_MAX))).astype(jnp.int32)
             aovf = aovf | jnp.max(dropped)
+            if weighted:
+                x_w = jnp.concatenate(
+                    [x_w[:ACC_H - ROWS_OUT, :],
+                     jnp.where(lt, x_w[ACC_H - ROWS_OUT:, :], bw)], 0)
             x_l = jnp.concatenate(
                 [x_l[:ACC_H - ROWS_OUT, :], jnp.where(lt, tl_lo, bl)], 0)
             x_h = jnp.concatenate(
@@ -253,7 +345,7 @@ def _extract_kernel(k: int, seed: int, nchunks: int,
             # sublane-roll partner exchange inside each 8-row tile.
             d = ACC_H // 2
             while d >= 8:
-                pl_, ph_ = [], []
+                pl_, ph_, pw_ = [], [], []
                 for base in range(0, ACC_H, 2 * d):
                     a_l = x_l[base:base + d, :]
                     a_h = x_h[base:base + d, :]
@@ -262,8 +354,15 @@ def _extract_kernel(k: int, seed: int, nchunks: int,
                     lt = _lex_lt(a_h, a_l, b_h, b_l)
                     pl_ += [jnp.where(lt, a_l, b_l), jnp.where(lt, b_l, a_l)]
                     ph_ += [jnp.where(lt, a_h, b_h), jnp.where(lt, b_h, a_h)]
+                    if weighted:
+                        a_w = x_w[base:base + d, :]
+                        b_w = x_w[base + d:base + 2 * d, :]
+                        pw_ += [jnp.where(lt, a_w, b_w),
+                                jnp.where(lt, b_w, a_w)]
                 x_l = jnp.concatenate(pl_, 0)
                 x_h = jnp.concatenate(ph_, 0)
+                if weighted:
+                    x_w = jnp.concatenate(pw_, 0)
                 d //= 2
             while d >= 1:
                 bit = (jax.lax.broadcasted_iota(
@@ -283,18 +382,52 @@ def _extract_kernel(k: int, seed: int, nchunks: int,
                                 pltpu.roll(x_h, jnp.int32(ACC_H - d), 0))
                 lt = _lex_lt(x_h, x_l, p_h, p_l)
                 # keep min where this row is the low partner (bit==0),
-                # max where it is the high partner
+                # max where it is the high partner. Per-side evaluation
+                # makes ties inconsistent across the pair, which is safe
+                # for values (equal either way) and for weights (ties are
+                # only pad-vs-pad under the distinctness invariant).
                 take_self = lt ^ bit
+                if weighted:
+                    p_w = jnp.where(bit, pltpu.roll(x_w, jnp.int32(d), 0),
+                                    pltpu.roll(x_w, jnp.int32(ACC_H - d),
+                                               0))
+                    x_w = jnp.where(take_self, x_w, p_w)
                 x_l = jnp.where(take_self, x_l, p_l)
                 x_h = jnp.where(take_self, x_h, p_h)
                 d //= 2
             alo[...] = x_l
             ahi[...] = x_h
+            if weighted:
+                awt[...] = x_w
             return covf, aovf
 
         covf, aovf = jax.lax.fori_loop(
             jnp.int32(0), jnp.int32(nchunks), chunk,
             (jnp.int32(0), jnp.int32(0)))
+        if weighted:
+            # fold weight - 1 into the spill encoding's top bits (the
+            # same (w << (2k+2)) | (composite+1) form tiers B/D/D2 emit
+            # and _flush decodes); a count that would not fit the field
+            # trips aovf -> the exact D2/D/B fallback chain re-counts.
+            wshift = 2 * k + 2
+            wbits = 64 - wshift
+            w = awt[...]
+            real = ~((ahi[...] == U32_MAX) & (alo[...] == U32_MAX))
+            wm1 = jnp.where(real & (w > U32(0)), w - U32(1), U32(0))
+            if wbits < 32:
+                wbig = (wm1 >> U32(wbits)) != U32(0)
+                aovf = aovf | jnp.max(wbig.astype(jnp.int32))
+            if wshift >= 32:
+                add_lo = jnp.zeros_like(wm1)
+                add_hi = wm1 << U32(wshift - 32)
+            else:
+                add_lo = wm1 << U32(wshift)
+                add_hi = wm1 >> U32(32 - wshift)
+            o_l = alo[...] + add_lo
+            carry = (o_l < add_lo).astype(jnp.uint32)
+            o_h = ahi[...] + add_hi + carry
+            alo[...] = jnp.where(real, o_l, U32_MAX)
+            ahi[...] = jnp.where(real, o_h, U32_MAX)
         ovf_ref[0, 0] = covf
         ovf_ref[0, 1] = aovf
         cout0 = pltpu.make_async_copy(alo, out_lo_hbm, sem_o0)
@@ -312,6 +445,7 @@ def _extract_kernel(k: int, seed: int, nchunks: int,
         nhi=pltpu.VMEM((ROWS_OUT, CHUNK_W), jnp.uint32),
         alo=pltpu.VMEM((ACC_H, CHUNK_W), jnp.uint32),
         ahi=pltpu.VMEM((ACC_H, CHUNK_W), jnp.uint32),
+        awt=pltpu.VMEM((ACC_H, CHUNK_W), jnp.uint32),
         ghlo=pltpu.VMEM((COLH, CHUNK_W), jnp.uint32),
         ghhi=pltpu.VMEM((COLH, CHUNK_W), jnp.uint32),
         sem_in=pltpu.SemaphoreType.DMA((2, 2)),
@@ -867,27 +1001,45 @@ def supports(k: int, b: int) -> bool:
             and b % (COLH * CHUNK_W) == 0 and b >= COLH * CHUNK_W)
 
 
-@partial(jax.jit, static_argnames=("k", "seed", "interpret"))
 def extract_candidates(vlo, vhi, thresh_hi, thresh_lo, *, k: int,
-                       seed: int, interpret: bool = False):
+                       seed: int, interpret: bool = False,
+                       weighted: bool | None = None):
+    """Run the fused kernel over b = vlo.size lanes.
+
+    Thin wrapper resolving the weighted (duplicate-absorbing) default
+    OUTSIDE the jit cache so the FINCH_TPU_ABSORB env flag is always part
+    of the key. See _extract_candidates."""
+    if weighted is None:
+        weighted = ABSORB and supports_weighted(k)
+    return _extract_candidates(vlo, vhi, thresh_hi, thresh_lo, k=k,
+                               seed=seed, interpret=interpret,
+                               weighted=weighted)
+
+
+@partial(jax.jit, static_argnames=("k", "seed", "interpret", "weighted"))
+def _extract_candidates(vlo, vhi, thresh_hi, thresh_lo, *, k: int,
+                        seed: int, interpret: bool = False,
+                        weighted: bool = False):
     """Run the fused kernel over b = vlo.size lanes.
 
     vlo/vhi: u32[b] halves of v = packed<<1|is_rc (u64::MAX lanes = padding).
     Returns (cand, slab, hash_lo, hash_hi, chunk_ovf, acc_ovf):
       cand u64[ACC_H*CHUNK_W] — the whole batch's survivors compacted by
-        the cross-chunk accumulator (spill-encoded composites); exact iff
-        chunk_ovf == 0 AND acc_ovf == 0 (a chunk-column overflow loses
-        survivors before the accumulator ever sees them),
-      slab u64[nchunks*ROWS_OUT*CHUNK_W] — the per-chunk 8-extract rows;
-        exact iff chunk_ovf == 0 (duplicate-heavy streams overflow the
-        accumulator long before any single chunk column exceeds ROWS_OUT),
+        the cross-chunk accumulator (spill-encoded composites; weighted
+        mode emits one (weight << (2k+2)) | (composite+1) head per
+        distinct composite instead of one entry per occurrence); exact
+        iff chunk_ovf == 0 AND acc_ovf == 0 (a chunk-column overflow
+        loses survivors before the accumulator ever sees them),
+      slab u64[nchunks*ROWS_OUT*CHUNK_W] — the per-chunk 8-extract rows
+        (always RAW unweighted composites, so tiers B/D2 are unaffected
+        by the weighted-accumulator mode); exact iff chunk_ovf == 0,
       hash_lo/hash_hi u32[b] — every lane's murmur halves, so the tier-C
         XLA fallback selects without re-hashing,
       chunk_ovf/acc_ovf i32 flags.
     """
     b = vlo.shape[0]
     nchunks = b // (COLH * CHUNK_W)
-    kern = partial(_extract_kernel, k, seed, nchunks)
+    kern = partial(_extract_kernel, k, seed, nchunks, weighted)
     out_lo, out_hi, slab_lo, slab_hi, h_lo, h_hi, ovf = pl.pallas_call(
         kern,
         out_shape=(

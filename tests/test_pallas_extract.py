@@ -27,7 +27,7 @@ def test_extract_candidates_matches_oracle(kk, seed):
         jnp.asarray((v >> np.uint64(32)).astype(np.uint32)),
         jnp.uint32(int(thresh >> np.uint64(32))),
         jnp.uint32(int(thresh & np.uint64(0xFFFFFFFF))),
-        k=kk, seed=seed, interpret=True)
+        k=kk, seed=seed, interpret=True, weighted=False)
     cand = np.asarray(cand)
     slab = np.asarray(slab)
 
@@ -62,7 +62,7 @@ def test_extract_candidates_multichunk_accumulator():
         jnp.asarray((v >> np.uint64(32)).astype(np.uint32)),
         jnp.uint32(int(thresh >> np.uint64(32))),
         jnp.uint32(int(thresh & np.uint64(0xFFFFFFFF))),
-        k=21, seed=0, interpret=True)
+        k=21, seed=0, interpret=True, weighted=False)
     cand = np.asarray(cand)
     slab = np.asarray(slab)
     assert cand.shape == (pe.ACC_H * pe.CHUNK_W,)
@@ -466,6 +466,92 @@ def _dedup_decode(cand, k):
     return out
 
 
+@pytest.mark.parametrize("k", [21, 15, 25])
+def test_extract_candidates_weighted_absorb(k):
+    """Weighted (duplicate-absorbing) accumulator: cross-chunk copies of
+    a survivor add to its head's weight instead of occupying accumulator
+    rows, in-chunk same-column duplicates collapse into weighted run
+    heads, and the decoded {composite: count} map equals the bruteforce
+    ground truth. The raw per-chunk slab must be byte-identical to the
+    unweighted kernel's (tiers B/D2 are unaffected by weighted mode)."""
+    import jax.numpy as jnp
+
+    seed = 0
+    nchunks = 2
+    chunk = pe.COLH * pe.CHUNK_W
+    b = nchunks * chunk
+    assert pe.supports_weighted(k)
+    rng = np.random.default_rng(7)
+    # cross-chunk duplication: both chunks hold the same distinct values
+    vals = rng.integers(0, 4 ** k, size=chunk, dtype=np.uint64)
+    v = np.tile(vals, nchunks)
+    rc = v & np.uint64(1)
+    comp = (v << np.uint64(1)) | rc
+    # in-chunk same-column duplicates (lanes i and i + CHUNK_W of chunk 0
+    # share a lane column): run-collapse coverage
+    comp[pe.CHUNK_W: pe.CHUNK_W + 100] = comp[:100]
+    comp[-29:] = U64_MAX  # padding lanes
+    vlo = jnp.asarray((comp & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    vhi = jnp.asarray((comp >> np.uint64(32)).astype(np.uint32))
+    thresh = np.uint64(int(0.05 * 2 ** 64))
+    th = jnp.uint32(int(thresh >> np.uint64(32)))
+    tl = jnp.uint32(int(thresh & np.uint64(0xFFFFFFFF)))
+
+    cw, slab_w, _hl, _hh, covf, aovf = pe.extract_candidates(
+        vlo, vhi, th, tl, k=k, seed=seed, interpret=True, weighted=True)
+    assert int(covf) == 0 and int(aovf) == 0
+    cu, slab_u, _hl2, _hh2, covfu, aovfu = pe.extract_candidates(
+        vlo, vhi, th, tl, k=k, seed=seed, interpret=True, weighted=False)
+    assert np.array_equal(np.asarray(slab_w), np.asarray(slab_u))
+
+    real = comp != U64_MAX
+    hashes = murmur3_packed((comp >> np.uint64(1))[real], k, seed)
+    want = {}
+    for cc in (comp[real][hashes <= thresh] + np.uint64(1)).tolist():
+        want[cc] = want.get(cc, 0) + 1
+    got = _dedup_decode(np.asarray(cw), k)
+    assert got == want
+    # the unweighted kernel's per-occurrence multiset agrees too
+    if int(aovfu) == 0:
+        cu = np.asarray(cu)
+        got_u = {}
+        for e in cu[cu != U64_MAX].tolist():
+            got_u[e] = got_u.get(e, 0) + 1
+        assert got_u == want
+
+
+def test_extract_candidates_weighted_distinct_matches_unweighted():
+    """On duplicate-free input the weighted kernel must emit exactly the
+    unweighted kernel's candidates (weight fields all zero)."""
+    import jax.numpy as jnp
+
+    b = pe.COLH * pe.CHUNK_W
+    rng = np.random.default_rng(19)
+    packed = rng.permutation(np.arange(b, dtype=np.uint64)
+                             * np.uint64(65537)) % np.uint64(4 ** 21)
+    # make values certainly distinct: multiply-by-odd permutation may
+    # collide after the modulo, so dedup explicitly
+    packed = np.unique(packed)
+    v = np.full(b, U64_MAX, dtype=np.uint64)
+    v[: len(packed)] = packed << np.uint64(1)
+    rng.shuffle(v)
+    thresh = np.uint64(int(0.01 * 2 ** 64))
+    vlo = jnp.asarray((v & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    vhi = jnp.asarray((v >> np.uint64(32)).astype(np.uint32))
+    th = jnp.uint32(int(thresh >> np.uint64(32)))
+    tl = jnp.uint32(int(thresh & np.uint64(0xFFFFFFFF)))
+    cw, _s, _a, _b, covf, aovf = pe.extract_candidates(
+        vlo, vhi, th, tl, k=21, seed=0, interpret=True, weighted=True)
+    cu, _s2, _a2, _b2, covf2, aovf2 = pe.extract_candidates(
+        vlo, vhi, th, tl, k=21, seed=0, interpret=True, weighted=False)
+    assert (int(covf), int(aovf)) == (int(covf2), int(aovf2)) == (0, 0)
+    cw = np.asarray(cw)
+    cu = np.asarray(cu)
+    assert np.array_equal(np.sort(cw), np.sort(cu))
+    shift = np.uint64(2 * 21 + 2)
+    assert np.all((cw[cw != U64_MAX] >> shift) == 0)
+
+
 @pytest.mark.parametrize("nchunks,dup,k", [
     (1, 16, 21), (2, 64, 21),
     (1, 16, 15),   # wshift == 32: weight sits exactly at the hi word
@@ -554,10 +640,12 @@ def _state_tuples(state, k, seed):
 
 
 @pytest.mark.parametrize("pattern", ["full_dup", "mixed"])
-def test_sketch_step_tier_d_integration(pattern):
+@pytest.mark.parametrize("absorb", [True, False])
+def test_sketch_step_tier_d_integration(pattern, absorb):
     """Full sketch_step through the kernel path (interpret mode) on
-    duplicate-burst batches: the dedup tier's weighted heads must fold
-    into a state identical to NumpyEngine's."""
+    duplicate-burst batches: with the weighted accumulator (absorb=True)
+    the burst stays on tier A; with it disabled the dedup tiers D2/D
+    carry it. Both must fold into a state identical to NumpyEngine's."""
     import jax.numpy as jnp
 
     from finch_tpu.models.engine import NumpyEngine
@@ -583,13 +671,13 @@ def test_sketch_step_tier_d_integration(pattern):
     state, _ = bottomk.sketch_step(
         state, jnp.asarray(packed), jnp.asarray(rc), jnp.uint32(b),
         jnp.uint64(0), k=k, seed=seed, has_max_hash=False,
-        use_kernel=True, kernel_interpret=True)
+        use_kernel=True, kernel_interpret=True, absorb=absorb)
     # second batch against a warmed threshold exercises the masked path
     packed2 = packed ^ np.uint64(0x155)
     state, _ = bottomk.sketch_step(
         state, jnp.asarray(packed2), jnp.asarray(rc), jnp.uint32(b),
         jnp.uint64(0), k=k, seed=seed, has_max_hash=False,
-        use_kernel=True, kernel_interpret=True)
+        use_kernel=True, kernel_interpret=True, absorb=absorb)
     got = _state_tuples(state, k, seed)
 
     eng = NumpyEngine(SketchParams.mash(kmers_to_sketch=size,
@@ -641,9 +729,11 @@ def test_sketch_step_tier_a_direct_paging(monkeypatch):
     assert got == want
 
 
-def test_sketch_step_tier_d_scaled():
-    """Tier D under the scaled scheme (has_max_hash): weighted heads +
-    the spill-occupancy below bound must match NumpyEngine."""
+@pytest.mark.parametrize("absorb", [True, False])
+def test_sketch_step_tier_d_scaled(absorb):
+    """Duplicate burst under the scaled scheme (has_max_hash): weighted
+    heads (tier A absorbed or tier D re-selected) + the spill-occupancy
+    below bound must match NumpyEngine."""
     import jax.numpy as jnp
 
     from finch_tpu.models.engine import NumpyEngine
@@ -664,7 +754,7 @@ def test_sketch_step_tier_d_scaled():
     state, below = bottomk.sketch_step(
         state, jnp.asarray(packed), jnp.asarray(rc), jnp.uint32(b),
         jnp.asarray(max_hash), k=k, seed=seed, has_max_hash=True,
-        use_kernel=True, kernel_interpret=True)
+        use_kernel=True, kernel_interpret=True, absorb=absorb)
     assert int(below) + 64 <= cap  # no grow needed at this scale
     st, _ = bottomk.flush_state(state, jnp.asarray(max_hash), k=k,
                                 seed=seed)
@@ -812,16 +902,25 @@ def test_sketch_step_tier_d2_integration(n_copies, expect_d2):
             rc2[lane] = 0
             i += 1
 
-    # confirm the crafted regime: dirty, covf==0, d2ovf as expected
+    # confirm the crafted regime: dirty, covf==0, d2ovf as expected.
+    # The tier-D2 regime only exists with the weighted accumulator off
+    # (absorb collapses the flood in-kernel and aovf never fires), so
+    # this test pins weighted=False / absorb=False throughout.
     comp = (p2 << np.uint64(1)) | rc2
     vlo = jnp.asarray((comp & np.uint64(0xFFFFFFFF)).astype(np.uint32))
     vhi = jnp.asarray((comp >> np.uint64(32)).astype(np.uint32))
     th32 = jnp.uint32(int(thresh >> np.uint64(32)))
     tl32 = jnp.uint32(int(thresh & np.uint64(0xFFFFFFFF)))
     _c, slab, _hl, _hh, covf, aovf = pe.extract_candidates(
-        vlo, vhi, th32, tl32, k=k, seed=seed, interpret=True)
+        vlo, vhi, th32, tl32, k=k, seed=seed, interpret=True,
+        weighted=False)
     assert int(covf) == 0
     assert int(aovf) == 1
+    # the weighted accumulator absorbs the same flood without overflow
+    _cw, _sw, _hlw, _hhw, covf_w, aovf_w = pe.extract_candidates(
+        vlo, vhi, th32, tl32, k=k, seed=seed, interpret=True,
+        weighted=True)
+    assert (int(covf_w), int(aovf_w)) == (0, 0)
     _cand, d2ovf = pe.dedup_slab_candidates(slab, k=k, interpret=True)
     assert int(d2ovf) == (0 if expect_d2 else 1)
 
@@ -830,7 +929,7 @@ def test_sketch_step_tier_d2_integration(n_copies, expect_d2):
         state, _ = bottomk.sketch_step(
             state, jnp.asarray(p), jnp.asarray(rc), jnp.uint32(b),
             jnp.uint64(0), k=k, seed=seed, has_max_hash=False,
-            use_kernel=True, kernel_interpret=True)
+            use_kernel=True, kernel_interpret=True, absorb=False)
     got = _state_tuples(state, k, seed)
 
     eng = NumpyEngine(SketchParams.mash(kmers_to_sketch=size,
