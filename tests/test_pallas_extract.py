@@ -916,11 +916,15 @@ def test_sketch_step_tier_d2_integration(n_copies, expect_d2):
         weighted=False)
     assert int(covf) == 0
     assert int(aovf) == 1
-    # the weighted accumulator absorbs the same flood without overflow
+    # the weighted accumulator absorbs a DUPLICATE flood without
+    # overflow (n_copies=5: 40 copies of one value collapse to a
+    # weighted head); 40 DISTINCT values still legitimately overflow
+    # the 32-row column (n_copies=1) and must trip aovf
     _cw, _sw, _hlw, _hhw, covf_w, aovf_w = pe.extract_candidates(
         vlo, vhi, th32, tl32, k=k, seed=seed, interpret=True,
         weighted=True)
-    assert (int(covf_w), int(aovf_w)) == (0, 0)
+    assert int(covf_w) == 0
+    assert int(aovf_w) == (0 if n_copies == 5 else 1)
     _cand, d2ovf = pe.dedup_slab_candidates(slab, k=k, interpret=True)
     assert int(d2ovf) == (0 if expect_d2 else 1)
 
