@@ -1652,6 +1652,23 @@ struct FoldState {
   int scheme = 0;               // 0 mash, 1 scaled
   uint32_t k = 21;
   uint64_t seed = 0;
+  // Flat candidate-buffer mode (schemes 0/1; buf_cap > 0 enables it):
+  // admitted (hash, 1, rc, packed) tuples append sequentially to `buf`
+  // and are bulk-selected at flush time into `kept` (distinct hashes,
+  // summed counts, ascending). Appends are ~1 ns vs the open-addressed
+  // table's cache-missing probe (~100 ns during warmup, when the
+  // threshold is still loose and most of the stream admits — the
+  // many-small-files regime). The retention rule applied at flush is
+  // identical to fold_compact's, so the monotone-threshold exactness
+  // argument above is unchanged: a hash is only ever dropped when it
+  // provably exceeds the retention target of a superset of the final
+  // candidate set. Counts mode (scheme 2) keeps the table: its key is
+  // the packed code, not an orderable hash.
+  std::vector<Entry> buf;       // unsorted admitted tuples since last flush
+  std::vector<Entry> kept;      // flushed survivors, ascending by hash
+  uint64_t buf_cap = 0;         // flush trigger; 0 = table mode
+  bool dup_heavy = false;       // last flush saw <50% distinct: skip the
+                                // selection pre-pass, radix-sort outright
 };
 
 // Slot index: a multiplicative scramble of the (already uniform) hash.
@@ -1708,6 +1725,181 @@ static void fold_compact(FoldState* s) {
   while (cap > 64 && survivors * 4 < cap) cap /= 2;
   while (survivors * 2 >= cap) cap *= 2;
   fold_rehash(s, cap);
+}
+
+// Bulk-select the buffered candidates: sort, accumulate equal-hash runs,
+// merge into `kept`, tighten the threshold to the retention target, drop
+// everything above it. Always leaves `kept` ascending-distinct and
+// `used` == kept.size(); cheap no-op when the buffer is empty.
+// Stable LSD radix sort by hash (4 x 16-bit passes). Stability keeps the
+// first-appended occurrence of a hash first, so the packed-kmer tie rule
+// on (astronomically rare) hash collisions matches the streaming heap's
+// first-encountered semantics. ~6x std::sort on 32-byte structs.
+static void radix_sort_entries(std::vector<Entry>& v, std::vector<Entry>& tmp,
+                               std::vector<uint32_t>& cnt) {
+  const size_t n = v.size();
+  if (n < 32768) {
+    std::stable_sort(v.begin(), v.end(),
+                     [](const Entry& a, const Entry& b) {
+                       return a.hash < b.hash;
+                     });
+    return;
+  }
+  tmp.resize(n);
+  cnt.resize(1 << 16);
+  Entry* a = v.data();
+  Entry* b = tmp.data();
+  for (int pass = 0; pass < 4; pass++) {
+    const int sh = 16 * pass;
+    std::fill(cnt.begin(), cnt.end(), 0);
+    for (size_t i = 0; i < n; i++) cnt[(a[i].hash >> sh) & 0xFFFF]++;
+    uint32_t sum = 0;
+    for (size_t d = 0; d < (size_t)(1 << 16); d++) {
+      uint32_t c = cnt[d];
+      cnt[d] = sum;
+      sum += c;
+    }
+    for (size_t i = 0; i < n; i++) b[cnt[(a[i].hash >> sh) & 0xFFFF]++] = a[i];
+    std::swap(a, b);
+  }
+  // 4 passes (even count): result landed back in v's storage
+}
+
+// Accumulate equal-hash runs of a sorted range into `out` (appending;
+// merges into out.back() when the first run continues its last hash).
+static void accumulate_runs(const Entry* b, const Entry* e,
+                            std::vector<Entry>& out) {
+  for (const Entry* it = b; it != e;) {
+    Entry acc = *it++;
+    while (it != e && it->hash == acc.hash) {
+      acc.count += it->count;
+      acc.extra += it->extra;
+      ++it;
+    }
+    if (!out.empty() && out.back().hash == acc.hash) {
+      out.back().count += acc.count;
+      out.back().extra += acc.extra;
+    } else {
+      out.push_back(acc);
+    }
+  }
+}
+
+// Reduce `buf` to distinct-accumulated ascending entries containing at
+// least the retention target: selection (nth_element) first, so only the
+// ~target smallest entries are ever fully sorted. Exactness: an entry is
+// dropped only when `want` distinct values strictly smaller than it have
+// already been kept — i.e. it exceeds the retention target of buf alone,
+// hence of the merged (kept + buf) set too, since merging only adds
+// values. Duplicates of the partition pivot are swept into the kept side
+// before counting so every retained hash keeps exact counts.
+static void fold_select_buf(FoldState* s, std::vector<Entry>& scratch,
+                            std::vector<uint32_t>& cnt) {
+  std::vector<Entry>& buf = s->buf;
+  std::vector<Entry> out;
+  auto hlt = [](const Entry& a, const Entry& b) { return a.hash < b.hash; };
+  size_t lo = 0, hi = buf.size();
+  const size_t n_in = buf.size();
+  if (s->dup_heavy) {
+    // duplicate-dominated stream: runs collapse the buffer better than
+    // selection can shrink it — sort everything and accumulate
+    radix_sort_entries(buf, scratch, cnt);
+    accumulate_runs(buf.data(), buf.data() + buf.size(), out);
+    s->dup_heavy = out.size() * 2 < n_in;
+    buf.swap(out);
+    return;
+  }
+  if (s->scheme == 1 && s->max_hash) {
+    // scaled: everything <= max_hash is mandatory — sort & keep it all
+    auto mid = std::partition(buf.begin(), buf.end(), [&](const Entry& e) {
+      return e.hash <= s->max_hash;
+    });
+    lo = (size_t)(mid - buf.begin());
+    if (lo) {
+      std::vector<Entry> mand(buf.begin(), mid);
+      radix_sort_entries(mand, scratch, cnt);
+      out.reserve(mand.size() + s->size);
+      accumulate_runs(mand.data(), mand.data() + mand.size(), out);
+    }
+  }
+  uint64_t want = s->size;
+  while (lo < hi && want > 0) {
+    if (hi - lo <= want + (want >> 2) + 4096) {
+      // close enough to the target: sort the remainder outright
+      std::vector<Entry> rest(buf.begin() + lo, buf.begin() + hi);
+      radix_sort_entries(rest, scratch, cnt);
+      accumulate_runs(rest.data(), rest.data() + rest.size(), out);
+      lo = hi;
+      break;
+    }
+    std::nth_element(buf.begin() + lo, buf.begin() + lo + want - 1,
+                     buf.begin() + hi, hlt);
+    const uint64_t v = buf[lo + want - 1].hash;
+    // sweep duplicates of the pivot value out of the right side so the
+    // kept run for v carries its full count
+    auto vmid = std::partition(buf.begin() + lo + want, buf.begin() + hi,
+                               [&](const Entry& e) { return e.hash == v; });
+    const size_t lend = (size_t)(vmid - buf.begin());
+    std::vector<Entry> left(buf.begin() + lo, buf.begin() + lend);
+    radix_sort_entries(left, scratch, cnt);
+    const size_t before = out.size();
+    accumulate_runs(left.data(), left.data() + left.size(), out);
+    const uint64_t d = out.size() - before;  // distinct gained (<= want)
+    want -= d < want ? d : want;
+    lo = lend;
+  }
+  // <50% distinct among the consumed prefix: flag the next flush to skip
+  // selection (duplicate-dominated streams collapse better under sort-all)
+  s->dup_heavy = lo > 0 && out.size() * 2 < lo;
+  buf.swap(out);
+}
+
+static void fold_flush(FoldState* s) {
+  if (!s->buf.empty()) {
+    std::vector<Entry> scratch;
+    std::vector<uint32_t> cnt;
+    fold_select_buf(s, scratch, cnt);
+    std::vector<Entry> merged;
+    merged.reserve(s->kept.size() + s->buf.size());
+    size_t i = 0, j = 0;
+    const size_t nk = s->kept.size(), nb = s->buf.size();
+    while (i < nk || j < nb) {
+      Entry e;
+      if (i < nk && (j >= nb || s->kept[i].hash <= s->buf[j].hash)) {
+        e = s->kept[i++];
+      } else {
+        e = s->buf[j++];
+      }
+      while (j < nb && s->buf[j].hash == e.hash) {
+        e.count += s->buf[j].count;
+        e.extra += s->buf[j].extra;
+        j++;
+      }
+      merged.push_back(e);
+    }
+    s->kept.swap(merged);
+    s->buf.clear();
+  }
+  uint64_t target = s->size;
+  if (s->scheme == 1) {
+    // kept is sorted: count the scaled-mandatory entries (<= max_hash)
+    size_t lo = 0, hi = s->kept.size();
+    while (lo < hi) {
+      size_t mid = (lo + hi) / 2;
+      if (s->kept[mid].hash <= s->max_hash) lo = mid + 1; else hi = mid;
+    }
+    target = lo + s->size;
+  }
+  if (target && s->kept.size() > target) {
+    uint64_t t = s->kept[target - 1].hash;
+    if (s->scheme == 1 && t < s->max_hash) t = s->max_hash;
+    if (t < s->thr) s->thr = t;
+  }
+  // an externally-tightened threshold (another worker's flush) also
+  // prunes here; anything above thr can never re-enter
+  while (!s->kept.empty() && s->kept.back().hash > s->thr)
+    s->kept.pop_back();
+  s->used = s->kept.size();
 }
 
 static inline void fold_insert(FoldState* s, uint64_t h, uint64_t rc,
@@ -1831,7 +2023,16 @@ extern "C" void* fn_fold_new(int scheme, uint32_t k, uint64_t seed,
   // size-0 mash admits nothing (handled in fn_fold_batch)
   if (scheme == 1 && size == 0) s->thr = max_hash;
   uint64_t cap = 1024;
-  while (cap < size / 4) cap *= 2;
+  if (scheme != 2) {
+    // flat candidate-buffer mode: flush cadence 2x the retention target
+    // (so one flush usually suffices for small streams), bounded at 1M
+    // tuples (32 MB) per state
+    uint64_t bc = 2 * size + 1024;
+    if (bc > (1ULL << 20)) bc = 1ULL << 20;
+    s->buf_cap = bc;
+  } else {
+    while (cap < size / 4) cap *= 2;
+  }
   s->slots.assign(cap, fold::Entry{0, 0, 0, 0});
   s->mask = cap - 1;
   return s;
@@ -1850,6 +2051,17 @@ extern "C" void fn_fold_batch(void* h, const uint64_t* packed,
     // with no hash involved, any k <= 31
     for (uint64_t i = 0; i < n; i++)
       fold::fold_insert(s, packed[i], 0, packed[i]);
+    return;
+  }
+  if (s->buf_cap) {
+    // flat-buffer mode: hash, threshold-filter, append; bulk-select on
+    // flush. No random memory access in the loop.
+    for (uint64_t i = 0; i < n; i++) {
+      uint64_t h1 = fold::murmur_packed_fast(packed[i], k, seed);
+      if (h1 <= s->thr)
+        s->buf.push_back(fold::Entry{h1, 1, rc[i], packed[i]});
+    }
+    if (s->buf.size() >= s->buf_cap) fold::fold_flush(s);
     return;
   }
   // block-wise: hash a block, software-prefetch the admitted slots, then
@@ -1873,7 +2085,9 @@ extern "C" void fn_fold_batch(void* h, const uint64_t* packed,
 
 // Number of live entries (call before fn_fold_result to size buffers).
 extern "C" uint64_t fn_fold_used(void* h) {
-  return ((fold::FoldState*)h)->used;
+  fold::FoldState* s = (fold::FoldState*)h;
+  if (s->buf_cap) fold::fold_flush(s);
+  return s->used;
 }
 
 // Emit entries sorted ascending by hash. Returns count written (<= cap).
@@ -1881,6 +2095,17 @@ extern "C" uint64_t fn_fold_result(void* h, uint64_t cap, uint64_t* out_h,
                                    uint64_t* out_c, uint64_t* out_e,
                                    uint64_t* out_pk) {
   fold::FoldState* s = (fold::FoldState*)h;
+  if (s->buf_cap) {
+    fold::fold_flush(s);
+    uint64_t n = s->kept.size() < cap ? s->kept.size() : cap;
+    for (uint64_t i = 0; i < n; i++) {
+      out_h[i] = s->kept[i].hash;
+      out_c[i] = s->kept[i].count;
+      out_e[i] = s->kept[i].extra;
+      out_pk[i] = s->kept[i].packed;
+    }
+    return n;
+  }
   std::vector<fold::Entry> live;
   live.reserve(s->used);
   for (const fold::Entry& e : s->slots)
@@ -2031,40 +2256,62 @@ static void sketch_worker_main(SketchPipeline* sp, fold::FoldState* st) {
     fold::FoldState* m =
         (fold::FoldState*)fn_fold_new(sp->scheme, sp->pipe.k, sp->seed,
                                       sp->size, sp->max_hash);
-    uint64_t total_live = 0;
-    for (auto* ws : sp->worker_states) total_live += ws->used;
-    uint64_t pre = m->mask + 1;
-    while (pre < total_live * 2) pre *= 2;
-    fold::fold_rehash(m, pre);  // pre-size: no growth rehashes mid-merge
     uint64_t n_ins = 0, n_cmp = 0, n_probe = 0;
-    for (auto* ws : sp->worker_states) {
-      for (const fold::Entry& e : ws->slots) {
-        if (!e.count || e.hash > m->thr) continue;
-        // insert summing counts (hash already computed)
-        n_ins++;
-        uint64_t i = fold::fold_slot(e.hash, m->mask);
-        for (;;) {
-          n_probe++;
-          fold::Entry& d = m->slots[i];
-          if (!d.count) {
-            d = e;
-            m->used++;
-            if (m->used * 10 >= (m->mask + 1) * 7) {
-              fold::fold_compact(m);
-              n_cmp++;
-            }
-            break;
-          }
-          if (d.hash == e.hash) {
-            d.count += e.count;
-            d.extra += e.extra;
-            break;
-          }
-          i = (i + 1) & m->mask;
+    if (m->buf_cap) {
+      // buffer-mode workers (schemes 0/1): their kept vectors are
+      // sorted-distinct; one worker hands its vector over outright,
+      // several concatenate into m's buffer and bulk-flush (the flush's
+      // run-accumulate sums counts across workers on hash ties)
+      for (auto* ws : sp->worker_states) {
+        if (!ws->buf_cap) continue;
+        fold::fold_flush(ws);
+        if (m->kept.empty() && m->buf.empty()) {
+          m->kept.swap(ws->kept);
+        } else {
+          m->buf.insert(m->buf.end(), ws->kept.begin(), ws->kept.end());
+          ws->kept.clear();
+          ws->kept.shrink_to_fit();
         }
+        ws->slots.clear();
+        ws->slots.shrink_to_fit();
       }
-      ws->slots.clear();
-      ws->slots.shrink_to_fit();
+      fold::fold_flush(m);
+      n_ins = m->used;
+    } else {
+      uint64_t total_live = 0;
+      for (auto* ws : sp->worker_states) total_live += ws->used;
+      uint64_t pre = m->mask + 1;
+      while (pre < total_live * 2) pre *= 2;
+      fold::fold_rehash(m, pre);  // pre-size: no growth rehashes mid-merge
+      for (auto* ws : sp->worker_states) {
+        for (const fold::Entry& e : ws->slots) {
+          if (!e.count || e.hash > m->thr) continue;
+          // insert summing counts (hash already computed)
+          n_ins++;
+          uint64_t i = fold::fold_slot(e.hash, m->mask);
+          for (;;) {
+            n_probe++;
+            fold::Entry& d = m->slots[i];
+            if (!d.count) {
+              d = e;
+              m->used++;
+              if (m->used * 10 >= (m->mask + 1) * 7) {
+                fold::fold_compact(m);
+                n_cmp++;
+              }
+              break;
+            }
+            if (d.hash == e.hash) {
+              d.count += e.count;
+              d.extra += e.extra;
+              break;
+            }
+            i = (i + 1) & m->mask;
+          }
+        }
+        ws->slots.clear();
+        ws->slots.shrink_to_fit();
+      }
     }
     if (getenv("FINCH_TPU_DEBUG_TIMING"))
       fprintf(stderr, "[merge] inserts %lu probes %lu compacts %lu\n",
