@@ -2023,10 +2023,12 @@ extern "C" void* fn_fold_new(int scheme, uint32_t k, uint64_t seed,
   // size-0 mash admits nothing (handled in fn_fold_batch)
   if (scheme == 1 && size == 0) s->thr = max_hash;
   uint64_t cap = 1024;
-  if (scheme != 2) {
+  const char* nobuf = getenv("FINCH_TPU_FOLD_BUF");
+  if (scheme != 2 && !(nobuf && nobuf[0] == '0')) {
     // flat candidate-buffer mode: flush cadence 2x the retention target
     // (so one flush usually suffices for small streams), bounded at 1M
-    // tuples (32 MB) per state
+    // tuples (32 MB) per state. FINCH_TPU_FOLD_BUF=0 restores the
+    // open-addressed table path (ablation / kill switch).
     uint64_t bc = 2 * size + 1024;
     if (bc > (1ULL << 20)) bc = 1ULL << 20;
     s->buf_cap = bc;
