@@ -27,11 +27,16 @@ def main() -> None:
                 f.write(b"@r%d\n" % i + seqs[i].tobytes() + b"\n+\n" + q
                         + b"\n")
 
+    # best of 3 passes (same protocol as bench.py's min-of-N: sheds
+    # shared-vCPU contention; the file is page-cached after pass 1)
+    dt = float("inf")
     total = 0
-    t0 = time.perf_counter()
-    for packed, rc in KmerReader(path, k=21, batch_size=1 << 21):
-        total += len(packed)
-    dt = time.perf_counter() - t0
+    for _ in range(3):
+        total = 0
+        t0 = time.perf_counter()
+        for packed, rc in KmerReader(path, k=21, batch_size=1 << 21):
+            total += len(packed)
+        dt = min(dt, time.perf_counter() - t0)
     sz = os.path.getsize(path)
     print(json.dumps({
         "metric": "parse_mb_per_sec_per_thread",

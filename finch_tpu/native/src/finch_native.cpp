@@ -22,6 +22,10 @@
 #include <cstring>
 #include <zlib.h>
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
 // ---------------------------------------------------------------------------
 // MurmurHash3_x64_128 (public-domain algorithm by Austin Appleby), scalar.
 // Matches the murmurhash3 Rust crate's x64_128 with a u64 seed:
@@ -191,11 +195,12 @@ extern "C" void fn_murmur3_packed_w(const uint64_t* plo, const uint64_t* phi,
 // integer comparison == lexicographic byte comparison. k <= 31 on this path.
 // ---------------------------------------------------------------------------
 
-enum SrcKind { SRC_GZFILE = 0, SRC_MEM = 1, SRC_MEMGZ = 2 };
+enum SrcKind { SRC_GZFILE = 0, SRC_MEM = 1, SRC_MEMGZ = 2, SRC_PLAIN = 3 };
 
 struct Source {
   SrcKind kind;
   gzFile gzf;
+  FILE* pf;  // PLAIN: direct stdio reads (no zlib buffer round-trip)
   // MEM / MEMGZ
   const uint8_t* data;
   uint64_t len;
@@ -209,6 +214,11 @@ static int64_t src_read(Source* s, uint8_t* dst, uint64_t want) {
     case SRC_GZFILE: {
       int r = gzread(s->gzf, dst, (unsigned)want);
       return (int64_t)r;  // <0 on error
+    }
+    case SRC_PLAIN: {
+      size_t r = fread(dst, 1, (size_t)want, s->pf);
+      if (r == 0 && ferror(s->pf)) return -1;
+      return (int64_t)r;
     }
     case SRC_MEM: {
       uint64_t n = s->len - s->pos;
@@ -291,6 +301,13 @@ struct Parser {
   uint64_t total_records;
   int err;
 
+  // SIMD pack scratch: a pure-base run's 2-bit codes as MSB-first
+  // bitstreams — fbuf forward, rbuf complemented-and-reversed — so k-mer
+  // windows extract as unaligned big-endian loads (see pack_run/win_be)
+  uint8_t* fbuf;
+  uint8_t* rbuf;
+  uint64_t packcap;
+
   // within-record chunk continuation (parallel pipeline, giant FASTA
   // records): `prime` raw bytes at the start of the stream re-seed the
   // rolling window of a record cut mid-sequence — they update fwd/rev/
@@ -315,11 +332,25 @@ static Parser* parser_new() {
 
 extern "C" void* fn_open_path(const char* path, int* err) {
   *err = 0;
-  gzFile f = gzopen(path, "rb");
-  if (!f) { *err = 2; return nullptr; }  // no such file
+  // plain files bypass zlib entirely (gzread on uncompressed input still
+  // round-trips every byte through zlib's window buffer)
+  FILE* pf = fopen(path, "rb");
+  if (!pf) { *err = 2; return nullptr; }  // no such file
+  uint8_t magic[2];
+  size_t got = fread(magic, 1, 2, pf);
+  if (got == 2 && magic[0] == 0x1f && magic[1] == 0x8b) {
+    fclose(pf);
+    gzFile f = gzopen(path, "rb");
+    if (!f) { *err = 2; return nullptr; }
+    Parser* p = parser_new();
+    p->src.kind = SRC_GZFILE;
+    p->src.gzf = f;
+    return p;
+  }
+  rewind(pf);
   Parser* p = parser_new();
-  p->src.kind = SRC_GZFILE;
-  p->src.gzf = f;
+  p->src.kind = SRC_PLAIN;
+  p->src.pf = pf;
   return p;
 }
 
@@ -344,7 +375,10 @@ extern "C" void fn_close(void* h) {
   Parser* p = (Parser*)h;
   if (!p) return;
   if (p->src.kind == SRC_GZFILE && p->src.gzf) gzclose(p->src.gzf);
+  if (p->src.kind == SRC_PLAIN && p->src.pf) fclose(p->src.pf);
   if (p->src.kind == SRC_MEMGZ) inflateEnd(&p->src.zs);
+  free(p->fbuf);
+  free(p->rbuf);
   free(p->buf);
   free(p);
 }
@@ -377,6 +411,148 @@ static void end_record(Parser* p) {
   p->fwd = p->rev = 0;
   p->fwd_hi = p->rev_hi = 0;
   p->vlen = 0;
+}
+
+// ---------------------------------------------------------------------------
+// SIMD fast path for pure-ACGT runs (the overwhelmingly common sequence
+// content): classify + 2-bit-pack the whole run into two MSB-first
+// bitstreams (forward codes; complemented codes in reversed base order),
+// then extract every canonical k-mer window as two unaligned big-endian
+// 64-bit loads + shifts. This removes the scalar loop's 2-cycle
+// loop-carried rolling-window dependency: window extractions are fully
+// independent across positions, so the CPU pipelines them. AVX2 when the
+// build host has it (-march=native), scalar pack fallback otherwise —
+// results are bit-identical either way.
+// ---------------------------------------------------------------------------
+
+// Length of the leading pure-base prefix (A/C/G/T/U, either case): the
+// bytes a packed run may contain. Stops at whitespace, N, or any other
+// byte (BYTE_CLASS >= 4).
+static inline uint64_t pure_base_prefix(const uint8_t* s, uint64_t len) {
+  uint64_t i = 0;
+#if defined(__AVX2__)
+  const __m256i df = _mm256_set1_epi8((char)0xDF);
+  const __m256i vA = _mm256_set1_epi8('A'), vC = _mm256_set1_epi8('C');
+  const __m256i vG = _mm256_set1_epi8('G'), vT = _mm256_set1_epi8('T');
+  const __m256i vU = _mm256_set1_epi8('U');
+  for (; i + 32 <= len; i += 32) {
+    __m256i b = _mm256_loadu_si256((const __m256i*)(s + i));
+    __m256i up = _mm256_and_si256(b, df);
+    __m256i v = _mm256_or_si256(
+        _mm256_or_si256(_mm256_cmpeq_epi8(up, vA), _mm256_cmpeq_epi8(up, vC)),
+        _mm256_or_si256(
+            _mm256_cmpeq_epi8(up, vG),
+            _mm256_or_si256(_mm256_cmpeq_epi8(up, vT),
+                            _mm256_cmpeq_epi8(up, vU))));
+    uint32_t m = (uint32_t)_mm256_movemask_epi8(v);
+    if (m != 0xFFFFFFFFu) return i + (uint64_t)__builtin_ctz(~m);
+  }
+#endif
+  for (; i < len; i++)
+    if (BYTE_CLASS[s[i]] >= 4) break;
+  return i;
+}
+
+#if defined(__AVX2__)
+// 2-bit codes of 32 base bytes via a low-nibble LUT. Valid for verified
+// base bytes only: low nibbles are A/a=1, C/c=3, G/g=7, T/t=4, U/u=5.
+static inline __m256i base_codes32(__m256i b) {
+  const __m256i lut = _mm256_setr_epi8(
+      0, 0, 0, 1, 3, 3, 0, 2, 0, 0, 0, 0, 0, 0, 0, 0,
+      0, 0, 0, 1, 3, 3, 0, 2, 0, 0, 0, 0, 0, 0, 0, 0);
+  // ASCII bytes have the high bit clear, so shuffle_epi8 never zeroes
+  return _mm256_shuffle_epi8(lut, b);
+}
+
+// Pack 32 codes (one per byte, memory order = base order) into 8 packed
+// bytes, earliest base in each byte's MSBs: out_byte = c0<<6|c1<<4|c2<<2|c3.
+static inline uint64_t pack_codes32(__m256i codes) {
+  // (c0,c1) byte pairs -> 16-bit c0*4+c1; (t0,t1) pairs -> 32-bit t0*16+t1
+  __m256i t = _mm256_maddubs_epi16(codes, _mm256_set1_epi16(0x0104));
+  __m256i u = _mm256_madd_epi16(t, _mm256_set1_epi32(0x00010010));
+  __m256i sh = _mm256_shuffle_epi8(u, _mm256_setr_epi8(
+      0, 4, 8, 12, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1,
+      0, 4, 8, 12, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1));
+  __m256i g = _mm256_permutevar8x32_epi32(
+      sh, _mm256_setr_epi32(0, 4, 0, 0, 0, 0, 0, 0));
+  return (uint64_t)_mm256_extract_epi64(g, 0);
+}
+
+// Reverse the byte order of a whole 256-bit vector.
+static inline __m256i byte_reverse32(__m256i b) {
+  const __m256i rev = _mm256_setr_epi8(
+      15, 14, 13, 12, 11, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1, 0,
+      15, 14, 13, 12, 11, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1, 0);
+  b = _mm256_shuffle_epi8(b, rev);
+  return _mm256_permute2x128_si256(b, b, 0x01);
+}
+#endif
+
+static void ensure_packcap(Parser* p, uint64_t bases) {
+  uint64_t need = bases / 4 + 16;  // +slack: win_be reads 8 bytes past use
+  if (p->packcap < need) {
+    uint64_t cap = p->packcap ? p->packcap : (1 << 12);
+    while (cap < need) cap *= 2;
+    free(p->fbuf);
+    free(p->rbuf);
+    p->fbuf = (uint8_t*)malloc(cap);
+    p->rbuf = (uint8_t*)malloc(cap);
+    p->packcap = cap;
+  }
+}
+
+// Pack a verified pure-base run s[0..L) into fbuf (forward codes) and rbuf
+// (complemented codes in reversed base order), both MSB-first: base t's
+// two bits sit at bitstream position 2t counted from byte 0's MSB.
+static void pack_run(const uint8_t* s, uint64_t L, uint8_t* fbuf,
+                     uint8_t* rbuf) {
+  uint64_t m = 0;
+#if defined(__AVX2__)
+  for (; m + 32 <= L; m += 32) {
+    __m256i b = _mm256_loadu_si256((const __m256i*)(s + m));
+    uint64_t w = pack_codes32(base_codes32(b));
+    memcpy(fbuf + (m >> 2), &w, 8);
+  }
+#endif
+  for (; m < L; m += 4) {
+    uint8_t v = 0;
+    for (uint64_t t = 0; t < 4 && m + t < L; t++)
+      v |= (uint8_t)((BYTE_CLASS[s[m + t]] & 3) << (6 - 2 * t));
+    fbuf[m >> 2] = v;
+  }
+  m = 0;
+#if defined(__AVX2__)
+  const __m256i three = _mm256_set1_epi8(3);
+  for (; m + 32 <= L; m += 32) {
+    __m256i b = _mm256_loadu_si256((const __m256i*)(s + (L - m - 32)));
+    __m256i codes = _mm256_xor_si256(base_codes32(byte_reverse32(b)), three);
+    uint64_t w = pack_codes32(codes);
+    memcpy(rbuf + (m >> 2), &w, 8);
+  }
+#endif
+  for (; m < L; m += 4) {
+    uint8_t v = 0;
+    for (uint64_t t = 0; t < 4 && m + t < L; t++)
+      v |= (uint8_t)(((BYTE_CLASS[s[L - 1 - (m + t)]] & 3) ^ 3)
+                     << (6 - 2 * t));
+    rbuf[m >> 2] = v;
+  }
+  // zero the slack so loads past the last packed byte read defined data
+  uint64_t nb = (L + 3) >> 2;
+  memset(fbuf + nb, 0, 8);
+  memset(rbuf + nb, 0, 8);
+}
+
+// Extract the 2k-bit window starting at base index `start` of an MSB-first
+// bitstream. Requires 2k + 7 <= 64 (k <= 28): the window plus the
+// within-byte offset must fit one 64-bit load.
+static inline uint64_t win_be(const uint8_t* buf, uint64_t start,
+                              uint32_t k2) {
+  const uint64_t bitpos = 2 * start;
+  uint64_t v;
+  memcpy(&v, buf + (bitpos >> 3), 8);
+  v = __builtin_bswap64(v);
+  return (v << (bitpos & 7)) >> (64 - k2);
 }
 
 // The extraction core. Returns:
@@ -497,6 +673,153 @@ static int parse_batch_impl(void* h, uint32_t k, int canonical, uint64_t cap,
         const uint64_t budget = cap - n;
         const uint64_t lim =
             (span_end - i > budget) ? i + budget : span_end;
+
+        // SIMD fast path (canonical emission, k <= 28): pack the leading
+        // pure-base run into 2-bit bitstreams and extract windows with
+        // independent unaligned loads (see pack_run/win_be above). The
+        // first k-1 bases go through the rolling update (their windows
+        // depend on carry-in state from the previous line/run); windows
+        // ending at j >= k-1 lie entirely inside the verified run.
+        if ((EMIT == 0 || EMIT == 1) && canonical && k <= 28 && lim > i) {
+          const uint64_t r = pure_base_prefix(p->buf + i, lim - i);
+          if (r >= 2 * (uint64_t)k) {
+            const uint64_t hd = (uint64_t)k - 1;
+            if (vlen == 0) {
+              // fresh record/run (every FASTQ read lands here): no window
+              // ending in the first k-1 bases can emit, and the rolling
+              // state is recomputed from the bitstreams below — the
+              // scalar priming loop is pure overhead
+              vlen = (uint32_t)hd;
+            } else
+            for (uint64_t t = 0; t < hd; t++) {
+              const uint64_t code = BYTE_CLASS[p->buf[i + t]];
+              fwd = ((fwd << 2) | (KT)code) & mask;
+              rev = (rev >> 2) | ((KT)(3 - code) << rshift);
+              vlen++;
+              // branchless emit: unconditional store + predicated index
+              // bump (stores at a non-emitting n are overwritten later;
+              // n stays < cap because head emissions are <= hd < budget)
+              const uint64_t fw = (uint64_t)fwd, rv = (uint64_t)rev;
+              const uint64_t rcv = (uint64_t)(fw >= rv);
+              const uint64_t kv = rv ^ ((fw ^ rv) & (rcv - 1));
+              if (EMIT == 0) {
+                out_kmers[n] = kv;
+                out_rc[n] = (uint8_t)rcv;
+              } else {
+                const uint64_t comp = (kv << 1) | rcv;
+                out_lo[n] = (uint32_t)comp;
+                out_hi[n] = (uint32_t)(comp >> 32);
+              }
+              const uint64_t emit = (vlen >= k);
+              n += emit;
+              kmers += emit;
+            }
+            ensure_packcap(p, r);
+            pack_run(p->buf + i, r, p->fbuf, p->rbuf);
+            const uint32_t k2 = 2 * k;
+            const uint8_t* fb = p->fbuf;
+            const uint8_t* rb = p->rbuf;
+            uint64_t j = hd;
+#if defined(__AVX2__)
+            // 4 windows per iteration: they span one byte of bitstream,
+            // so ONE 64-bit BE load per stream feeds all four lanes via
+            // per-lane shifts. Headroom: (bitpos&7) + 6 + 2k <= 64
+            // requires k <= 26; 27/28 take the scalar loop below.
+            if (k <= 26) {
+              const __m256i lane_f = _mm256_setr_epi64x(0, 2, 4, 6);
+              const __m256i lane_r = _mm256_setr_epi64x(6, 4, 2, 0);
+              const __m256i sign =
+                  _mm256_set1_epi64x((long long)0x8000000000000000ULL);
+              const __m256i sr = _mm256_set1_epi64x(64 - (int)k2);
+              const uint64_t r1 = r - 1;
+              for (; j + 4 <= r; j += 4) {
+                const uint64_t bf = 2 * (j - hd);
+                uint64_t vf;
+                memcpy(&vf, fb + (bf >> 3), 8);
+                vf = __builtin_bswap64(vf);
+                const uint64_t br = 2 * (r1 - j - 3);
+                uint64_t vr;
+                memcpy(&vr, rb + (br >> 3), 8);
+                vr = __builtin_bswap64(vr);
+                __m256i F = _mm256_set1_epi64x((long long)vf);
+                __m256i R = _mm256_set1_epi64x((long long)vr);
+                __m256i shf = _mm256_add_epi64(
+                    _mm256_set1_epi64x((long long)(bf & 7)), lane_f);
+                __m256i shr_ = _mm256_add_epi64(
+                    _mm256_set1_epi64x((long long)(br & 7)), lane_r);
+                F = _mm256_srlv_epi64(_mm256_sllv_epi64(F, shf), sr);
+                R = _mm256_srlv_epi64(_mm256_sllv_epi64(R, shr_), sr);
+                // unsigned 64-bit fw >= rv via sign-biased signed compare
+                __m256i ge = _mm256_or_si256(
+                    _mm256_cmpgt_epi64(_mm256_xor_si256(F, sign),
+                                       _mm256_xor_si256(R, sign)),
+                    _mm256_cmpeq_epi64(F, R));
+                __m256i kv = _mm256_blendv_epi8(F, R, ge);
+                if (EMIT == 0) {
+                  _mm256_storeu_si256((__m256i*)(out_kmers + n), kv);
+                  const int mk =
+                      _mm256_movemask_pd(_mm256_castsi256_pd(ge));
+                  out_rc[n] = (uint8_t)(mk & 1);
+                  out_rc[n + 1] = (uint8_t)((mk >> 1) & 1);
+                  out_rc[n + 2] = (uint8_t)((mk >> 2) & 1);
+                  out_rc[n + 3] = (uint8_t)((mk >> 3) & 1);
+                } else {
+                  __m256i comp = _mm256_or_si256(
+                      _mm256_slli_epi64(kv, 1), _mm256_srli_epi64(ge, 63));
+                  __m256i perm = _mm256_permutevar8x32_epi32(
+                      comp, _mm256_setr_epi32(0, 2, 4, 6, 1, 3, 5, 7));
+                  _mm_storeu_si128((__m128i*)(out_lo + n),
+                                   _mm256_castsi256_si128(perm));
+                  _mm_storeu_si128((__m128i*)(out_hi + n),
+                                   _mm256_extracti128_si256(perm, 1));
+                }
+                n += 4;
+              }
+            }
+#endif
+            for (; j < r; j++) {
+              const uint64_t fw = win_be(fb, j - hd, k2);
+              const uint64_t rv = win_be(rb, r - 1 - j, k2);
+              // branchless canonical select: fw-vs-rv is a coin flip on
+              // real sequence, so a conditional branch here mispredicts
+              // ~50% and dominates the loop (measured 203 -> 550+ MB/s)
+              const uint64_t rcv = (uint64_t)(fw >= rv);
+              const uint64_t kv = rv ^ ((fw ^ rv) & (rcv - 1));
+              if (EMIT == 0) {
+                out_kmers[n] = kv;
+                out_rc[n] = (uint8_t)rcv;
+              } else {
+                const uint64_t comp = (kv << 1) | rcv;
+                out_lo[n] = (uint32_t)comp;
+                out_hi[n] = (uint32_t)(comp >> 32);
+              }
+              n++;
+            }
+            kmers += r - hd;
+            // rolling state = the run's last window (packed forms match
+            // the rolling representation bit-for-bit)
+            fwd = (KT)win_be(fb, r - k, k2);
+            rev = (KT)win_be(rb, 0, k2);
+            vlen += (uint32_t)(r - hd);
+            rec_raw += r;
+            trail = 0;
+            i += r;
+            line_start = false;
+            continue;
+          }
+          if (r == 0 && BYTE_CLASS[p->buf[i]] == 5) {
+            // bulk-consume an invalid-byte run (N homopolymers etc.):
+            // raw bytes count, the k-mer window resets, nothing emits
+            uint64_t j = i + 1;
+            while (j < lim && BYTE_CLASS[p->buf[j]] == 5) j++;
+            rec_raw += j - i;
+            trail = 0;
+            vlen = 0;
+            i = j;
+            line_start = false;
+            continue;
+          }
+        }
 
         if (lim > i) {
           const KT save_fwd = fwd, save_rev = rev;
@@ -626,7 +949,45 @@ static int parse_batch_impl(void* h, uint32_t k, int canonical, uint64_t cap,
       goto outer_continue;
     }
 
-    // Slow path: header/control lines, byte at a time.
+    // Line-structured control states: bulk-skip with memchr instead of
+    // the per-byte switch (qual lines are ~half of a FASTQ's bytes).
+    if (p->state == P_HEADER || p->state == P_FASTQ_PLUS) {
+      const uint8_t* nl = (const uint8_t*)memchr(p->buf + p->cur, '\n',
+                                                 p->fill - p->cur);
+      if (!nl) { p->cur = p->fill; goto outer_continue; }
+      p->cur = (uint64_t)(nl - p->buf) + 1;
+      if (p->state == P_HEADER) {
+        p->state = (p->format == 1) ? P_FASTA_SEQ : P_FASTQ_SEQ;
+        p->at_line_start = true;
+        p->rec_raw = 0;
+        p->rec_trail_ws = 0;
+        p->fwd = p->rev = 0;
+        p->fwd_hi = p->rev_hi = 0;
+        p->vlen = 0;
+      } else {
+        p->state = P_FASTQ_QUAL;
+        p->fq_qual_seen = 0;
+      }
+      goto outer_continue;
+    }
+    if (p->state == P_FASTQ_QUAL) {
+      const uint64_t avail = p->fill - p->cur;
+      const uint8_t* nl = (const uint8_t*)memchr(p->buf + p->cur, '\n',
+                                                 avail);
+      if (!nl) {
+        p->fq_qual_seen += avail;
+        p->cur = p->fill;
+        goto outer_continue;
+      }
+      p->fq_qual_seen += (uint64_t)(nl - p->buf) - p->cur;
+      p->cur = (uint64_t)(nl - p->buf) + 1;
+      if (p->fq_qual_seen != p->fq_seq_len) { p->err = 5; return -1; }
+      end_record(p);
+      p->state = P_START;  // expect '@' of the next record
+      goto outer_continue;
+    }
+
+    // Slow path: format detection, byte at a time.
     {
       uint8_t b = p->buf[p->cur++];
       switch (p->state) {
