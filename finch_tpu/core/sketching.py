@@ -51,6 +51,12 @@ def _choose_reader(source, k: int, canonical: bool, batch_size: int,
         # single-word (narrow-k throughput machinery)
         return KmerReader(source, k=k, canonical=canonical,
                           batch_size=batch_size)
+    if source == "-":
+        # stdin: the serial reader streams the fd with O(1) memory
+        # (lib.rs:38-43); the parallel pipeline's chunk aligner needs a
+        # rewindable source
+        return KmerReader(source, k=k, canonical=canonical,
+                          batch_size=batch_size, composite=composite)
     cores = (os.cpu_count() or 1) if parser_threads is None \
         else parser_threads
     if cores > 1:
@@ -73,6 +79,8 @@ def _fused_native_ok(source, sketch_params: SketchParams,
         return False  # wide k streams through the two-word serial path
     if isinstance(source, (bytes, bytearray, memoryview)):
         return False
+    if source == "-":
+        return False  # stdin streams through the serial fd reader
     if backend == "native":
         return True
     if backend == "auto":
@@ -231,11 +239,8 @@ def sketch_files(filenames: Sequence[str], sketch_params: SketchParams,
     import os
 
     def one(filename: str, parser_threads=None) -> Sketch:
-        if filename == "-":
-            data = sys.stdin.buffer.read()
-            return sketch_stream(data, filename, sketch_params, filters,
-                                 backend=backend, batch_size=batch_size,
-                                 parser_threads=parser_threads)
+        # '-' streams stdin through the fd reader with O(1) memory
+        # (lib.rs:38-43) — sketch_stream/_choose_reader special-case it
         return sketch_stream(filename, filename, sketch_params, filters,
                              backend=backend, batch_size=batch_size,
                              parser_threads=parser_threads)

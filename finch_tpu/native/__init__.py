@@ -83,6 +83,8 @@ def lib() -> ctypes.CDLL:
                 l.fn_open_bytes.restype = ctypes.c_void_p
                 l.fn_open_bytes.argtypes = [
                     ctypes.c_char_p, u64, p(ctypes.c_int)]
+                l.fn_open_fd.restype = ctypes.c_void_p
+                l.fn_open_fd.argtypes = [ctypes.c_int, p(ctypes.c_int)]
                 l.fn_close.argtypes = [ctypes.c_void_p]
                 l.fn_next_batch.restype = ctypes.c_int
                 l.fn_next_batch.argtypes = [
@@ -297,6 +299,27 @@ def murmur3_batch(keys: np.ndarray, seed: int = 0) -> np.ndarray:
 FORMAT_UNKNOWN, FORMAT_FASTA, FORMAT_FASTQ = 0, 1, 2
 
 
+def _open_source(path_or_bytes, err):
+    """Open a serial parser handle for any source form.
+
+    bytes-like -> in-memory; '-' or an int fd -> O(1)-memory fd streaming
+    (the reference streams stdin through the same record loop as a file,
+    lib.rs:38-43); anything else -> filesystem path. Returns
+    (handle, keepalive)."""
+    if isinstance(path_or_bytes, (bytes, bytearray, memoryview)):
+        data = bytes(path_or_bytes)
+        return lib().fn_open_bytes(data, len(data), ctypes.byref(err)), data
+    if path_or_bytes == "-":
+        import sys
+
+        return lib().fn_open_fd(sys.stdin.buffer.fileno(),
+                                ctypes.byref(err)), None
+    if isinstance(path_or_bytes, int):
+        return lib().fn_open_fd(path_or_bytes, ctypes.byref(err)), None
+    return lib().fn_open_path(str(path_or_bytes).encode(),
+                              ctypes.byref(err)), None
+
+
 class KmerReader:
     """Streaming canonical k-mer batches from a FASTA/FASTQ(.gz) source.
 
@@ -312,15 +335,8 @@ class KmerReader:
         self.batch_size = int(batch_size)
         self.composite = bool(composite)
         self._err = ctypes.c_int(0)
-        self._keepalive = None
         self._lib = lib()
-        if isinstance(path_or_bytes, (bytes, bytearray, memoryview)):
-            data = bytes(path_or_bytes)
-            self._keepalive = data
-            self._h = lib().fn_open_bytes(data, len(data), ctypes.byref(self._err))
-        else:
-            self._h = lib().fn_open_path(
-                str(path_or_bytes).encode(), ctypes.byref(self._err))
+        self._h, self._keepalive = _open_source(path_or_bytes, self._err)
         if not self._h:
             raise NativeError(_ERRORS.get(self._err.value, "open failed"))
         self.format = FORMAT_UNKNOWN
@@ -435,16 +451,8 @@ class XWideReader:
         # honored (tests use tiny caps to force cross-batch stitching)
         self._cap = max(64, min(int(batch_size), (8 << 20) // self.k))
         self._err = ctypes.c_int(0)
-        self._keepalive = None
         self._lib = lib()
-        if isinstance(path_or_bytes, (bytes, bytearray, memoryview)):
-            data = bytes(path_or_bytes)
-            self._keepalive = data
-            self._h = lib().fn_open_bytes(data, len(data),
-                                          ctypes.byref(self._err))
-        else:
-            self._h = lib().fn_open_path(
-                str(path_or_bytes).encode(), ctypes.byref(self._err))
+        self._h, self._keepalive = _open_source(path_or_bytes, self._err)
         if not self._h:
             raise NativeError(_ERRORS.get(self._err.value, "open failed"))
         self.format = FORMAT_UNKNOWN

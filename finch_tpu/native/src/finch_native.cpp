@@ -20,6 +20,8 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <cerrno>
+#include <unistd.h>
 #include <zlib.h>
 
 #if defined(__AVX2__)
@@ -195,7 +197,14 @@ extern "C" void fn_murmur3_packed_w(const uint64_t* plo, const uint64_t* phi,
 // integer comparison == lexicographic byte comparison. k <= 31 on this path.
 // ---------------------------------------------------------------------------
 
-enum SrcKind { SRC_GZFILE = 0, SRC_MEM = 1, SRC_MEMGZ = 2, SRC_PLAIN = 3 };
+enum SrcKind {
+  SRC_GZFILE = 0,
+  SRC_MEM = 1,
+  SRC_MEMGZ = 2,
+  SRC_PLAIN = 3,
+  SRC_FD = 4,    // non-seekable fd (stdin/pipes), plain bytes
+  SRC_FDGZ = 5,  // non-seekable fd, streaming gzip inflate
+};
 
 struct Source {
   SrcKind kind;
@@ -207,7 +216,23 @@ struct Source {
   uint64_t pos;
   z_stream zs;
   bool z_end;
+  // FD / FDGZ: O(1)-memory pipe streaming (lib.rs:38-43 reads stdin
+  // through the same record loop as any file)
+  int fd;
+  uint8_t hdr[2];        // sniffed magic bytes, replayed before fd reads
+  uint32_t hdr_len, hdr_pos;
+  uint8_t* zin;          // FDGZ: compressed staging buffer
+  uint64_t zin_cap;
 };
+
+// read(2) with EINTR retry; returns bytes read (0 = EOF), -1 on error
+static int64_t fd_read(int fd, uint8_t* dst, uint64_t want) {
+  for (;;) {
+    ssize_t r = read(fd, dst, (size_t)want);
+    if (r >= 0) return (int64_t)r;
+    if (errno != EINTR) return -1;
+  }
+}
 
 static int64_t src_read(Source* s, uint8_t* dst, uint64_t want) {
   switch (s->kind) {
@@ -237,6 +262,61 @@ static int64_t src_read(Source* s, uint8_t* dst, uint64_t want) {
       s->pos = s->len - s->zs.avail_in;
       if (ret == Z_STREAM_END) s->z_end = true;
       else if (ret != Z_OK && ret != Z_BUF_ERROR) return -1;
+      return (int64_t)(want - s->zs.avail_out);
+    }
+    case SRC_FD: {
+      if (s->hdr_pos < s->hdr_len) {
+        uint64_t h = s->hdr_len - s->hdr_pos;
+        if (h > want) h = want;
+        memcpy(dst, s->hdr + s->hdr_pos, h);
+        s->hdr_pos += (uint32_t)h;
+        return (int64_t)h;
+      }
+      return fd_read(s->fd, dst, want);
+    }
+    case SRC_FDGZ: {
+      if (s->z_end) return 0;
+      s->zs.next_out = dst;
+      s->zs.avail_out = (uInt)want;
+      while (s->zs.avail_out > 0 && !s->z_end) {
+        if (s->zs.avail_in == 0) {
+          int64_t got;
+          if (s->hdr_pos < s->hdr_len) {
+            memcpy(s->zin, s->hdr + s->hdr_pos, s->hdr_len - s->hdr_pos);
+            got = (int64_t)(s->hdr_len - s->hdr_pos);
+            s->hdr_pos = s->hdr_len;
+          } else {
+            got = fd_read(s->fd, s->zin, s->zin_cap);
+            if (got < 0) return -1;
+            if (got == 0) {
+              // truncated stream: EOF before Z_STREAM_END
+              return (s->zs.avail_out == (uInt)want) ? -1 : (int64_t)(
+                  want - s->zs.avail_out);
+            }
+          }
+          s->zs.next_in = s->zin;
+          s->zs.avail_in = (uInt)got;
+        }
+        int ret = inflate(&s->zs, Z_NO_FLUSH);
+        if (ret == Z_STREAM_END) {
+          // concatenated gzip members (bgzip/pigz output): keep going
+          // while compressed input remains
+          if (s->zs.avail_in > 0) {
+            if (inflateReset(&s->zs) != Z_OK) return -1;
+          } else {
+            // EOF-or-more ambiguity resolves at the next call: peek one
+            // read; empty -> done
+            int64_t got = fd_read(s->fd, s->zin, s->zin_cap);
+            if (got < 0) return -1;
+            if (got == 0) { s->z_end = true; break; }
+            if (inflateReset(&s->zs) != Z_OK) return -1;
+            s->zs.next_in = s->zin;
+            s->zs.avail_in = (uInt)got;
+          }
+        } else if (ret != Z_OK && ret != Z_BUF_ERROR) {
+          return -1;
+        }
+      }
       return (int64_t)(want - s->zs.avail_out);
     }
   }
@@ -371,12 +451,48 @@ extern "C" void* fn_open_bytes(const uint8_t* data, uint64_t len, int* err) {
   return p;
 }
 
+// Stream a non-seekable fd (stdin = 0) with O(1) memory, gzip or plain,
+// matching the reference's stdin path (lib.rs:38-43). The fd is NOT
+// closed by fn_close (the caller owns it — closing stdin would be rude).
+extern "C" void* fn_open_fd(int fd, int* err) {
+  *err = 0;
+  Parser* p = parser_new();
+  Source* s = &p->src;
+  s->fd = fd;
+  int64_t got = 0;
+  while (got < 2) {
+    int64_t r = fd_read(fd, s->hdr + got, 2 - (uint64_t)got);
+    if (r < 0) { *err = 4; free(p->buf); free(p); return nullptr; }
+    if (r == 0) break;
+    got += r;
+  }
+  s->hdr_len = (uint32_t)got;
+  s->hdr_pos = 0;
+  if (got == 2 && s->hdr[0] == 0x1f && s->hdr[1] == 0x8b) {
+    s->kind = SRC_FDGZ;
+    memset(&s->zs, 0, sizeof(z_stream));
+    if (inflateInit2(&s->zs, 15 + 32) != Z_OK) {
+      *err = 3;
+      free(p->buf);
+      free(p);
+      return nullptr;
+    }
+    s->zin_cap = 1 << 18;
+    s->zin = (uint8_t*)malloc(s->zin_cap);
+  } else {
+    s->kind = SRC_FD;
+  }
+  return p;
+}
+
 extern "C" void fn_close(void* h) {
   Parser* p = (Parser*)h;
   if (!p) return;
   if (p->src.kind == SRC_GZFILE && p->src.gzf) gzclose(p->src.gzf);
   if (p->src.kind == SRC_PLAIN && p->src.pf) fclose(p->src.pf);
-  if (p->src.kind == SRC_MEMGZ) inflateEnd(&p->src.zs);
+  if (p->src.kind == SRC_MEMGZ || p->src.kind == SRC_FDGZ)
+    inflateEnd(&p->src.zs);
+  free(p->src.zin);
   free(p->fbuf);
   free(p->rbuf);
   free(p->buf);
