@@ -103,31 +103,43 @@ def main() -> None:
 
     kmers_per_sec = batch * 2 * timed_steps / max(t_big - t_small, 1e-9)
 
+    def measure_stream(plo, phi, warm=True):
+        """Warm a fresh state on the stream, then run the differential
+        N-vs-3N protocol (same jit program `run`)."""
+        nonlocal start
+        s = bottomk.empty_state(cap)
+        s = run(s, plo, phi, jnp.int32(0), jnp.int32(warm_steps))
+        sync(s)
+        t_s = t_b = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            s = run(s, plo, phi, jnp.int32(start), jnp.int32(timed_steps))
+            sync(s)
+            start += timed_steps
+            t_s = min(t_s, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            s = run(s, plo, phi, jnp.int32(start),
+                    jnp.int32(3 * timed_steps))
+            sync(s)
+            start += 3 * timed_steps
+            t_b = min(t_b, time.perf_counter() - t0)
+        return batch * 2 * timed_steps / max(t_b - t_s, 1e-9)
+
     # adversarial duplicate-burst stream: every value appears 64x within
     # each batch (xor-perturbation preserves within-batch equality), so
     # the dedup/merge stages carry maximum load while the prefilter's
-    # uniform-hash assumption is broken
+    # uniform-hash assumption is broken. jnp.tile places copies one chunk
+    # apart in the SAME lane column — the layout the D2/absorb collapse
+    # is built for...
     dup_pool = jnp.tile(pool[: batch // 64], 64)
-    rc = jnp.tile(rc[: batch // 64], 64)  # keep (lo, hi) lanes paired
-    state = bottomk.empty_state(cap)
-    state = run(state, dup_pool, rc, jnp.int32(0), jnp.int32(warm_steps))
-    sync(state)
+    dup_rc = jnp.tile(rc[: batch // 64], 64)  # keep (lo, hi) lanes paired
+    worst = measure_stream(dup_pool, dup_rc)
 
-    def timed_dup(nsteps):
-        nonlocal start
-        t0 = time.perf_counter()
-        s = run(state, dup_pool, rc, jnp.int32(start), jnp.int32(nsteps))
-        sync(s)
-        start += nsteps
-        return time.perf_counter() - t0, s
-
-    td_small = td_big = float("inf")
-    for _ in range(2):
-        dt, state = timed_dup(timed_steps)
-        td_small = min(td_small, dt)
-        dt, state = timed_dup(3 * timed_steps)
-        td_big = min(td_big, dt)
-    worst = batch * 2 * timed_steps / max(td_big - td_small, 1e-9)
+    # ...so ALSO measure the honest adversary: the same 64x multiset with
+    # copies randomly permuted across all lanes (defeats column adjacency;
+    # duplicates land in arbitrary columns and rows)
+    perm = jax.random.permutation(jax.random.PRNGKey(7), batch)
+    shuf = measure_stream(dup_pool[perm], dup_rc[perm])
 
     out = {
         "metric": "kmers_sketched_per_sec_per_chip",
@@ -135,8 +147,41 @@ def main() -> None:
         "unit": "kmers/s/chip",
         "vs_baseline": round(kmers_per_sec / BASELINE_KMERS_PER_SEC, 3),
         "worst_case_dup64": round(worst, 1),
+        "worst_case_dup_shuffle": round(shuf, 1),
     }
     from finch_tpu.ops import pallas_extract
+
+    if pallas_extract.ABSORB and "--no-ab" not in sys.argv:
+        # built-in drift control: the same uniform stream with the
+        # weighted (duplicate-absorbing) accumulator compiled OUT, so
+        # every BENCH_r*.json carries its own absorb-tax A/B (one extra
+        # kernel compile; measured r5: absorb ON is ~14% FASTER on
+        # uniform, 4.57 vs 5.31 ms/step — benchmarks/bench_absorb_ab.py)
+        def one_step_off(i, state, pool, rc):
+            mask = (i.astype(jnp.uint64)
+                    * jnp.uint64(0x9E3779B97F4A7C15)) & jnp.uint64(
+                        4 ** k - 1)
+            m = mask << jnp.uint64(1)
+            mlo = (m & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+            mhi = (m >> jnp.uint64(32)).astype(jnp.uint32)
+            new_state, _ = bottomk.sketch_step(
+                state, pool ^ mlo, rc ^ mhi, jnp.uint32(batch),
+                jnp.uint64(0), k=k, seed=0, has_max_hash=False,
+                use_kernel=bottomk.auto_use_kernel(), composite=True,
+                absorb=False)
+            return new_state
+
+        @jax.jit
+        def run_off(state, pool, rc, start, nsteps):
+            return jax.lax.fori_loop(
+                start, start + nsteps,
+                lambda i, s: one_step_off(i.astype(jnp.uint32), s, pool,
+                                          rc), state)
+
+        saved_run = run
+        run = run_off
+        out["uniform_absorb_off"] = round(measure_stream(pool, rc), 1)
+        run = saved_run
 
     if not pallas_extract.ABSORB:
         # mark metrics recorded without the weighted (duplicate-

@@ -158,6 +158,29 @@ def main() -> None:
     assert a == b, "DIVERGENCE: dup64 weighted tier-A path"
     print(f"dup64 burst: device == oracle ({len(a)} entries, counts exact)")
 
+    # the SCATTERED duplicate adversary: the same 64x multiset with
+    # copies randomly permuted across the batch — defeats the column
+    # adjacency the tiled burst hands the absorb/D2 collapse, so the
+    # wide (DUP_ACC_H) D2 accumulator or the B/C chain carries it.
+    # Counts must stay exact whatever tier takes the batch (the
+    # reference's heap is exact under any duplication order,
+    # mash.rs:34-63).
+    jx = JaxEngine(params, batch_size=1 << 21)
+    npe = NumpyEngine(params)
+    for i in range(4):
+        n = 1 << 21
+        base = rng.integers(0, 4 ** 21, size=n // 64, dtype=np.uint64)
+        pk = np.tile(base, 64)
+        rc = np.tile(rng.integers(0, 2, size=n // 64, dtype=np.uint8), 64)
+        perm = rng.permutation(n)
+        jx.update(pk[perm], rc[perm])
+        npe.update(pk[perm], rc[perm])
+    a = [(k.hash, k.count, k.extra_count) for k in jx.finalize()]
+    b = [(k.hash, k.count, k.extra_count) for k in npe.finalize()]
+    assert a == b, "DIVERGENCE: shuffled dup64 path"
+    print(f"dup64 shuffled: device == oracle ({len(a)} entries, "
+          "counts exact)")
+
     # same burst with the weighted accumulator DISABLED: the accumulator
     # overflows and the tier-D2/B fallback chain runs for real on
     # hardware (the pre-round-4 duplicate path must stay exact too)
