@@ -103,12 +103,19 @@ def main() -> None:
 
     kmers_per_sec = batch * 2 * timed_steps / max(t_big - t_small, 1e-9)
 
-    def measure_stream(plo, phi, warm=True):
+    def measure_stream(plo, phi, warm=None):
         """Warm a fresh state on the stream, then run the differential
-        N-vs-3N protocol (same jit program `run`)."""
+        N-vs-3N protocol (same jit program `run`).
+
+        Duplicate streams carry 64x fewer distinct values per batch, so
+        their admission threshold needs ~64x more steps to decay to the
+        same steady-state density (survivors/step ~ 64*cap/t); callers
+        pass a longer warm for those so the metric measures the
+        steady-state regime, not the cold transient."""
         nonlocal start
         s = bottomk.empty_state(cap)
-        s = run(s, plo, phi, jnp.int32(0), jnp.int32(warm_steps))
+        s = run(s, plo, phi, jnp.int32(0),
+                jnp.int32(warm if warm is not None else warm_steps))
         sync(s)
         t_s = t_b = float("inf")
         for _ in range(2):
@@ -133,13 +140,13 @@ def main() -> None:
     # is built for...
     dup_pool = jnp.tile(pool[: batch // 64], 64)
     dup_rc = jnp.tile(rc[: batch // 64], 64)  # keep (lo, hi) lanes paired
-    worst = measure_stream(dup_pool, dup_rc)
+    worst = measure_stream(dup_pool, dup_rc, warm=128)
 
     # ...so ALSO measure the honest adversary: the same 64x multiset with
     # copies randomly permuted across all lanes (defeats column adjacency;
     # duplicates land in arbitrary columns and rows)
     perm = jax.random.permutation(jax.random.PRNGKey(7), batch)
-    shuf = measure_stream(dup_pool[perm], dup_rc[perm])
+    shuf = measure_stream(dup_pool[perm], dup_rc[perm], warm=128)
 
     out = {
         "metric": "kmers_sketched_per_sec_per_chip",

@@ -271,17 +271,19 @@ def main() -> None:
     print("Gram distance engine: device == serial on "
           f"{len(db)}x{len(db)} pairs")
 
-    # int8-MXU Gram path: same pairs, int8 inputs + int32 accumulation
+    # the non-default Gram precision (bf16+f32 when int8 is the default,
+    # and vice versa): both MXU paths must agree bit-for-bit on hardware
     from finch_tpu.parallel import mxu_dist as _mx
 
-    _mx.GRAM_INT8 = True
+    _saved = _mx.GRAM_INT8
+    _mx.GRAM_INT8 = not _saved
     try:
         common8, i8, j8 = all_pairs_stats(H, L, scale=0.0)
     finally:
-        _mx.GRAM_INT8 = False
+        _mx.GRAM_INT8 = _saved
     assert (np.array_equal(common8, common) and np.array_equal(i8, i_m)
-            and np.array_equal(j8, j_m)), "DIVERGENCE: int8 Gram path"
-    print("int8 Gram path: matches bf16/f32 on hardware")
+            and np.array_equal(j8, j_m)), "DIVERGENCE: Gram precision paths"
+    print("Gram precision paths (int8 vs bf16/f32): identical on hardware")
 
     # device-compacted survivors: same candidate stats as the full path
     from finch_tpu.parallel.mxu_dist import all_pairs_survivors

@@ -476,11 +476,28 @@ def _extract_kernel(k: int, seed: int, nchunks: int, weighted: bool,
 # head and trips the flag (the caller falls back to tier B/C).
 # ---------------------------------------------------------------------------
 
-DUP_ACC_H = int(os.environ.get("FINCH_TPU_KERNEL_DUPACCH", "32"))
-if (DUP_ACC_H < 8 or (DUP_ACC_H & (DUP_ACC_H - 1)) or DUP_ACC_H % 8
-        or DUP_ACC_H < COLH // 2):
+# 96 (not 32) so randomly-SCATTERED duplicate bursts stay on the dedup
+# tiers: copies of one value land in ~61 distinct columns per batch at
+# the bench's steady state (cap 200k, 64x dup, 4M batch), so per-column
+# weighted heads need ~61+4.5-sigma rows — 32 overflowed every step and
+# the shuffle stream fell to tier B's global sorts (BENCH r5: 0.38 G).
+# Need not be a power of two itself: the bitonic sort3 requires the
+# WORKING row count (DUP_ACC_H + staged rows) to be one — supports_dedup
+# and supports_dedup_slab gate on that (96 + 32 = 128 for both tiers).
+DUP_ACC_H = int(os.environ.get("FINCH_TPU_KERNEL_DUPACCH", "96"))
+if (DUP_ACC_H < 8 or DUP_ACC_H % 8 or DUP_ACC_H < COLH // 2):
     raise ValueError(
-        "FINCH_TPU_KERNEL_DUPACCH must be a power of two >= max(8, COLH/2)")
+        "FINCH_TPU_KERNEL_DUPACCH must be a multiple of 8 >= max(8, COLH/2)")
+
+# dedup kernels run per lane WINDOW: columns are independent, so the
+# (DUP_ACC_H + staged)-row bitonic working set only needs DUP_W lanes
+# resident at a time. At the full CHUNK_W=2048 the 128-row working set
+# needs ~33 MB of scoped VMEM (>16 MB limit, BENCH r5 compile OOM);
+# 512-lane windows fit with ~2x headroom at identical total arithmetic.
+DUP_W = int(os.environ.get("FINCH_TPU_KERNEL_DUPW", "512"))
+if DUP_W < 128 or DUP_W % 128 or CHUNK_W % DUP_W:
+    raise ValueError(
+        "FINCH_TPU_KERNEL_DUPW must be a multiple of 128 dividing CHUNK_W")
 
 
 def _lex_lt_strict(ah, al, bh, bl):
@@ -582,7 +599,7 @@ def _bitonic_sort3(x_h, x_l, x_w):
     return x_h, x_l, x_w
 
 
-def _dedup_kernel(k: int, seed: int, nchunks: int, wshift: int,
+def _dedup_kernel(k: int, seed: int, nchunks: int, wshift: int, W: int,
                   thi_ref, tlo_ref, vlo_hbm, vhi_hbm, hlo_hbm, hhi_hbm,
                   out_lo_hbm, out_hi_hbm, ovf_ref):
     th = thi_ref[0, 0]
@@ -622,9 +639,9 @@ def _dedup_kernel(k: int, seed: int, nchunks: int, wshift: int,
                 sem_in.at[slot, jnp.int32(3)]).wait()
 
         start_in(jnp.int32(0), jnp.int32(0))
-        alo[...] = jnp.full((A, CHUNK_W), U32_MAX, jnp.uint32)
-        ahi[...] = jnp.full((A, CHUNK_W), U32_MAX, jnp.uint32)
-        aw[...] = jnp.zeros((A, CHUNK_W), jnp.uint32)
+        alo[...] = jnp.full((A, W), U32_MAX, jnp.uint32)
+        ahi[...] = jnp.full((A, W), U32_MAX, jnp.uint32)
+        aw[...] = jnp.zeros((A, W), jnp.uint32)
 
         def chunk(ci, dovf):
             slot = jax.lax.rem(ci, jnp.int32(2))
@@ -717,13 +734,13 @@ def _dedup_kernel(k: int, seed: int, nchunks: int, wshift: int,
 
     pl.run_scoped(
         body,
-        slo=pltpu.VMEM((2, COLH, CHUNK_W), jnp.uint32),
-        shi=pltpu.VMEM((2, COLH, CHUNK_W), jnp.uint32),
-        sh0=pltpu.VMEM((2, COLH, CHUNK_W), jnp.uint32),
-        sh1=pltpu.VMEM((2, COLH, CHUNK_W), jnp.uint32),
-        alo=pltpu.VMEM((DUP_ACC_H, CHUNK_W), jnp.uint32),
-        ahi=pltpu.VMEM((DUP_ACC_H, CHUNK_W), jnp.uint32),
-        aw=pltpu.VMEM((DUP_ACC_H, CHUNK_W), jnp.uint32),
+        slo=pltpu.VMEM((2, COLH, W), jnp.uint32),
+        shi=pltpu.VMEM((2, COLH, W), jnp.uint32),
+        sh0=pltpu.VMEM((2, COLH, W), jnp.uint32),
+        sh1=pltpu.VMEM((2, COLH, W), jnp.uint32),
+        alo=pltpu.VMEM((DUP_ACC_H, W), jnp.uint32),
+        ahi=pltpu.VMEM((DUP_ACC_H, W), jnp.uint32),
+        aw=pltpu.VMEM((DUP_ACC_H, W), jnp.uint32),
         sem_in=pltpu.SemaphoreType.DMA((2, 4)),
         sem_o0=pltpu.SemaphoreType.DMA,
         sem_o1=pltpu.SemaphoreType.DMA,
@@ -752,7 +769,7 @@ def _dedup_kernel(k: int, seed: int, nchunks: int, wshift: int,
 DUP_GROUP = 4  # chunks staged per sort3; W2 = DUP_ACC_H + GROUP*ROWS_OUT
 
 
-def _dedup_slab_kernel(nchunks: int, wshift: int,
+def _dedup_slab_kernel(nchunks: int, wshift: int, W: int,
                        slab_lo_hbm, slab_hi_hbm,
                        out_lo_hbm, out_hi_hbm, ovf_ref):
     A = DUP_ACC_H
@@ -779,9 +796,9 @@ def _dedup_slab_kernel(nchunks: int, wshift: int,
                 sem_in.at[slot, jnp.int32(1)]).wait()
 
         start_in(jnp.int32(0), jnp.int32(0))
-        alo[...] = jnp.full((A, CHUNK_W), U32_MAX, jnp.uint32)
-        ahi[...] = jnp.full((A, CHUNK_W), U32_MAX, jnp.uint32)
-        aw[...] = jnp.zeros((A, CHUNK_W), jnp.uint32)
+        alo[...] = jnp.full((A, W), U32_MAX, jnp.uint32)
+        ahi[...] = jnp.full((A, W), U32_MAX, jnp.uint32)
+        aw[...] = jnp.zeros((A, W), jnp.uint32)
 
         def group(gi, dovf):
             slot = jax.lax.rem(gi, jnp.int32(2))
@@ -869,11 +886,11 @@ def _dedup_slab_kernel(nchunks: int, wshift: int,
 
     pl.run_scoped(
         body,
-        slo=pltpu.VMEM((2, DUP_GROUP * ROWS_OUT, CHUNK_W), jnp.uint32),
-        shi=pltpu.VMEM((2, DUP_GROUP * ROWS_OUT, CHUNK_W), jnp.uint32),
-        alo=pltpu.VMEM((DUP_ACC_H, CHUNK_W), jnp.uint32),
-        ahi=pltpu.VMEM((DUP_ACC_H, CHUNK_W), jnp.uint32),
-        aw=pltpu.VMEM((DUP_ACC_H, CHUNK_W), jnp.uint32),
+        slo=pltpu.VMEM((2, DUP_GROUP * ROWS_OUT, W), jnp.uint32),
+        shi=pltpu.VMEM((2, DUP_GROUP * ROWS_OUT, W), jnp.uint32),
+        alo=pltpu.VMEM((DUP_ACC_H, W), jnp.uint32),
+        ahi=pltpu.VMEM((DUP_ACC_H, W), jnp.uint32),
+        aw=pltpu.VMEM((DUP_ACC_H, W), jnp.uint32),
         sem_in=pltpu.SemaphoreType.DMA((2, 2)),
         sem_o0=pltpu.SemaphoreType.DMA,
         sem_o1=pltpu.SemaphoreType.DMA,
@@ -897,18 +914,22 @@ def dedup_slab_candidates(slab, *, k: int, interpret: bool = False):
     slab: u64[(nchunks*ROWS_OUT)*CHUNK_W] spill-encoded composite+1
     survivors from extract_candidates (exhaustive iff covf == 0).
     Returns (cand u64[DUP_ACC_H*CHUNK_W] spill-encoded weighted heads,
-    d2ovf i32). Exact iff the caller's covf == 0 AND d2ovf == 0."""
+    d2ovf i32). Exact iff the caller's covf == 0 AND d2ovf == 0.
+
+    Runs as CHUNK_W/DUP_W lane-window kernel invocations (columns are
+    independent; the full-width working set exceeds scoped VMEM at
+    DUP_ACC_H=96 — see the DUP_W note above)."""
     slab_lo = slab.astype(jnp.uint32)
     slab_hi = (slab >> jnp.uint64(32)).astype(jnp.uint32)
     rows = slab_lo.shape[0] // CHUNK_W
     nchunks = rows // ROWS_OUT
     wshift = 2 * k + 2
-    kern = partial(_dedup_slab_kernel, nchunks, wshift)
-    out_lo, out_hi, ovf = pl.pallas_call(
+    kern = partial(_dedup_slab_kernel, nchunks, wshift, DUP_W)
+    call = pl.pallas_call(
         kern,
         out_shape=(
-            jax.ShapeDtypeStruct((DUP_ACC_H, CHUNK_W), jnp.uint32),
-            jax.ShapeDtypeStruct((DUP_ACC_H, CHUNK_W), jnp.uint32),
+            jax.ShapeDtypeStruct((DUP_ACC_H, DUP_W), jnp.uint32),
+            jax.ShapeDtypeStruct((DUP_ACC_H, DUP_W), jnp.uint32),
             jax.ShapeDtypeStruct((1, 2), jnp.int32),
         ),
         in_specs=[
@@ -922,11 +943,22 @@ def dedup_slab_candidates(slab, *, k: int, interpret: bool = False):
         ),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(slab_lo.reshape(rows, CHUNK_W),
-      slab_hi.reshape(rows, CHUNK_W))
+    )
+    sl = slab_lo.reshape(rows, CHUNK_W)
+    sh = slab_hi.reshape(rows, CHUNK_W)
+    los, his = [], []
+    ovf = jnp.int32(0)
+    for w0 in range(0, CHUNK_W, DUP_W):
+        out_lo, out_hi, o = call(sl[:, w0:w0 + DUP_W],
+                                 sh[:, w0:w0 + DUP_W])
+        los.append(out_lo)
+        his.append(out_hi)
+        ovf = ovf | o[0, 0]
+    out_lo = jnp.concatenate(los, axis=1)
+    out_hi = jnp.concatenate(his, axis=1)
     cand = ((out_hi.astype(jnp.uint64) << jnp.uint64(32))
             | out_lo.astype(jnp.uint64)).ravel()
-    return cand, ovf[0, 0]
+    return cand, ovf
 
 
 def supports_dedup(k: int, b: int) -> bool:
@@ -954,12 +986,12 @@ def dedup_candidates(vlo, vhi, hash_lo, hash_hi, thresh_hi, thresh_lo, *,
     b = vlo.shape[0]
     nchunks = b // (COLH * CHUNK_W)
     wshift = 2 * k + 2
-    kern = partial(_dedup_kernel, k, seed, nchunks, wshift)
-    out_lo, out_hi, ovf = pl.pallas_call(
+    kern = partial(_dedup_kernel, k, seed, nchunks, wshift, DUP_W)
+    call = pl.pallas_call(
         kern,
         out_shape=(
-            jax.ShapeDtypeStruct((DUP_ACC_H, CHUNK_W), jnp.uint32),
-            jax.ShapeDtypeStruct((DUP_ACC_H, CHUNK_W), jnp.uint32),
+            jax.ShapeDtypeStruct((DUP_ACC_H, DUP_W), jnp.uint32),
+            jax.ShapeDtypeStruct((DUP_ACC_H, DUP_W), jnp.uint32),
             jax.ShapeDtypeStruct((1, 2), jnp.int32),
         ),
         in_specs=[
@@ -977,15 +1009,27 @@ def dedup_candidates(vlo, vhi, hash_lo, hash_hi, thresh_hi, thresh_lo, *,
         ),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(thresh_hi.reshape(1, 1).astype(jnp.uint32),
-      thresh_lo.reshape(1, 1).astype(jnp.uint32),
-      vlo.reshape(nchunks * COLH, CHUNK_W),
-      vhi.reshape(nchunks * COLH, CHUNK_W),
-      hash_lo.reshape(nchunks * COLH, CHUNK_W),
-      hash_hi.reshape(nchunks * COLH, CHUNK_W))
+    )
+    th = thresh_hi.reshape(1, 1).astype(jnp.uint32)
+    tl = thresh_lo.reshape(1, 1).astype(jnp.uint32)
+    vl = vlo.reshape(nchunks * COLH, CHUNK_W)
+    vh = vhi.reshape(nchunks * COLH, CHUNK_W)
+    hl = hash_lo.reshape(nchunks * COLH, CHUNK_W)
+    hh = hash_hi.reshape(nchunks * COLH, CHUNK_W)
+    los, his = [], []
+    ovf = jnp.int32(0)
+    for w0 in range(0, CHUNK_W, DUP_W):
+        out_lo, out_hi, o = call(
+            th, tl, vl[:, w0:w0 + DUP_W], vh[:, w0:w0 + DUP_W],
+            hl[:, w0:w0 + DUP_W], hh[:, w0:w0 + DUP_W])
+        los.append(out_lo)
+        his.append(out_hi)
+        ovf = ovf | o[0, 0]
+    out_lo = jnp.concatenate(los, axis=1)
+    out_hi = jnp.concatenate(his, axis=1)
     cand = ((out_hi.astype(jnp.uint64) << jnp.uint64(32))
             | out_lo.astype(jnp.uint64)).ravel()
-    return cand, ovf[0, 0]
+    return cand, ovf
 
 
 def supports(k: int, b: int) -> bool:

@@ -49,11 +49,15 @@ from finch_tpu.models.params import U64_MAX
 
 __all__ = ["all_pairs_stats", "all_pairs_common", "pack_db"]
 
-# E-block Gram matmul precision: bf16 inputs + f32 accumulation (exact
-# for per-pair counts < 2^24) by default; FINCH_TPU_GRAM_INT8=1 switches
-# to int8 inputs + int32 accumulation (v5e's int8 MXU path is 2x the
-# bf16 rate, and the accumulation is exact for any count < 2^31)
-GRAM_INT8 = os.environ.get("FINCH_TPU_GRAM_INT8", "0") == "1"
+# E-block Gram matmul precision: int8 inputs + int32 accumulation by
+# default — v5e's int8 MXU path measured 1.50x the bf16 rate on the
+# MXU-bound clustered 10k x 10k workload (2.074 -> 1.385 s device phase,
+# benchmarks/results_r5/dist10k_int8_ab.json; a wash on the
+# bandwidth-bound disjoint DB), and int32 accumulation is exact for any
+# per-pair count < 2^31 (the bf16+f32 form needed a k < 2^24 guard).
+# Hardware equality of the two paths is asserted in validate_tpu.py.
+# FINCH_TPU_GRAM_INT8=0 compiles the bf16+f32 form instead.
+GRAM_INT8 = os.environ.get("FINCH_TPU_GRAM_INT8", "1") != "0"
 
 
 def _gram_dot(E, RB: int, n_sketches: int, common, int8: bool):

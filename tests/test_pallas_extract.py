@@ -862,9 +862,10 @@ def test_sketch_step_tier_d2_integration(n_copies, expect_d2):
     the accumulator with spread-out copies (<= ROWS_OUT per chunk, so
     the slab stays exhaustive) while the rest of the batch is sparse.
     n_copies=5 x 8 chunks = 40 copies of ONE value -> tier D2 collapses
-    them to a weighted head; n_copies=1 x 40 distinct values -> D2's
-    head rows overflow (d2ovf) and the step falls back (tier D) — both
-    must fold into a state identical to NumpyEngine's."""
+    them to a weighted head; n_copies=1 with > DUP_ACC_H distinct values
+    in one column -> D2's head rows overflow (d2ovf) and the step falls
+    back (tier B when the slab is complete) — both must fold into a
+    state identical to NumpyEngine's."""
     import jax.numpy as jnp
 
     from finch_tpu.models.engine import NumpyEngine
@@ -872,7 +873,20 @@ def test_sketch_step_tier_d2_integration(n_copies, expect_d2):
     from finch_tpu.ops import bottomk
 
     k, seed, size = 21, 0, 256
-    nchunks = 8
+    if n_copies == 5:
+        nchunks = 8
+        rows_per_chunk = 5
+        flood_n = 40  # 40 copies of ONE value, 5 rows/chunk, column 0
+    else:
+        # enough DISTINCT heads in one column to overflow the
+        # DUP_ACC_H-row D2 accumulator: ROWS_OUT per chunk (the covf
+        # bound) x enough chunks, rounded up to the staging group
+        need = pe.DUP_ACC_H // pe.ROWS_OUT + 2
+        nchunks = ((need + pe.DUP_GROUP - 1)
+                   // pe.DUP_GROUP) * pe.DUP_GROUP
+        rows_per_chunk = pe.ROWS_OUT
+        flood_n = nchunks * rows_per_chunk
+        assert flood_n > pe.DUP_ACC_H
     b = nchunks * pe.COLH * pe.CHUNK_W
     assert pe.supports_dedup_slab(k, b)
     rng = np.random.default_rng(77)
@@ -891,12 +905,13 @@ def test_sketch_step_tier_d2_integration(n_copies, expect_d2):
     # flood values = batch-1 k-mers with the smallest hashes: guaranteed
     # below the warmed threshold (duplicates against the state are fine
     # and exactly what a burst is)
-    surv = np.unique(p1[order[:80]])[:40]
-    assert len(surv) >= 40
-    flood = np.repeat(surv[:1], 40) if n_copies == 5 else surv[:40]
+    surv = np.unique(p1[order[:size - 8]])[:flood_n]
+    assert len(surv) >= flood_n
+    flood = (np.repeat(surv[:1], flood_n) if n_copies == 5
+             else surv[:flood_n])
     i = 0
     for c in range(nchunks):
-        for r in range(40 // nchunks):
+        for r in range(rows_per_chunk):
             lane = c * (pe.COLH * pe.CHUNK_W) + r * pe.CHUNK_W
             p2[lane] = flood[i]
             rc2[lane] = 0
