@@ -636,3 +636,27 @@ def test_stdin_pipe_bounded_rss_and_identical_stream(tmp_path):
     # by >= the 125 MB stream.
     assert int(rss_kb) < 100 * 1024, \
         f"RSS grew {rss_kb} KB during streaming: not O(1)"
+
+
+def test_fd_reader_concatenated_gzip_members(tmp_path):
+    """bgzip/pigz emit multiple gzip members back to back; the fd
+    source's streaming inflate must cross member boundaries
+    (inflateReset path) and match the by-path read."""
+    import os
+
+    p = tmp_path / "a.fastq"
+    _make_fastq(str(p), 300)
+    raw = open(str(p), "rb").read()
+    third = len(raw) // 3
+    gz = tmp_path / "a.cat.gz"
+    with open(str(gz), "wb") as f:
+        for part in (raw[:third], raw[third:2 * third], raw[2 * third:]):
+            f.write(gzip.compress(part))
+    _, pk_path, rc_path = read_all(str(p))
+    fd = os.open(str(gz), os.O_RDONLY)
+    try:
+        r, pk_fd, rc_fd = read_all(fd)
+    finally:
+        os.close(fd)
+    assert np.array_equal(pk_path, pk_fd)
+    assert np.array_equal(rc_path, rc_fd)
