@@ -445,13 +445,13 @@ class HybridEngine:
 
             dev.capacity *= 2
             dev.state = bottomk.empty_state(dev.capacity)
-        sh, sc, se, spk, spill, fill = dev.state
+        sh, sc, se, spk, spill, fill, hint = dev.state
         dev.state = (
             sh.at[:n].set(jnp.asarray(hh)),
             sc.at[:n].set(jnp.asarray(hc)),
             se.at[:n].set(jnp.asarray(he)),
             spk.at[:n].set(jnp.asarray(hpk)),
-            spill, fill,
+            spill, fill, hint,
         )
         self._dev = dev
         self._host = None

@@ -131,6 +131,12 @@ def empty_state(capacity: int, spill: int | None = None):
         jnp.zeros((capacity,), dtype=jnp.uint64),
         jnp.full((spill,), U64_MAX, dtype=jnp.uint64),
         jnp.zeros((1,), dtype=jnp.int32),
+        # adaptive-absorb hint: 1 = last kernel batch saw co-column
+        # duplicate collapse (weight bits in some tier's candidates), so
+        # the weighted accumulator is worth its sweep cost; 0 = run the
+        # unweighted kernel (the interleaved r5 A/B measured the
+        # weighted sweeps at ~0.8 ms/step = +71% on uniform streams)
+        jnp.zeros((1,), dtype=jnp.int32),
     )
 
 
@@ -437,8 +443,9 @@ def _sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
     hashes) + (real spill entries) — see the scaled note below; the spill
     is NOT flushed every step.
     """
-    sh, sc, se, spk, spill, fill = state
+    sh, sc, se, spk, spill, fill, hint = state
     state4 = (sh, sc, se, spk)
+    hint_out = hint
     b = batch_packed.shape[0]
     if composite:
         # inputs are the parser's ((packed << 1) | is_rc) u32 planes
@@ -587,14 +594,31 @@ def _sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
                 U64_MAX)
             vlo = v.astype(jnp.uint32)
             vhi = (v >> jnp.uint64(32)).astype(jnp.uint32)
-        cand, slab, kh_lo, kh_hi, covf, aovf = \
-            pallas_extract.extract_candidates(
-                vlo,
-                vhi,
-                (thresh >> jnp.uint64(32)).astype(jnp.uint32),
-                thresh.astype(jnp.uint32),
-                k=k, seed=seed, interpret=kernel_interpret,
-                weighted=absorb and pallas_extract.supports_weighted(k))
+        th_hi = (thresh >> jnp.uint64(32)).astype(jnp.uint32)
+        th_lo = thresh.astype(jnp.uint32)
+        w_ok = absorb and pallas_extract.supports_weighted(k)
+        if w_ok:
+            # ADAPTIVE absorb: the weighted accumulator only pays for
+            # itself when duplicate copies actually land in the same
+            # lane column (stride-aligned bursts); on uniform or
+            # scattered-duplicate streams its 8 roll-sweeps + 3-plane
+            # merge are pure overhead (~0.8 ms/step at b=4M, the
+            # interleaved r5 A/B). Dispatch on the hint carried in the
+            # state; both kernel variants compile, one runs.
+            def _ex(w):
+                def f(_):
+                    return pallas_extract.extract_candidates(
+                        vlo, vhi, th_hi, th_lo, k=k, seed=seed,
+                        interpret=kernel_interpret, weighted=w)
+                return f
+
+            cand, slab, kh_lo, kh_hi, covf, aovf = jax.lax.cond(
+                hint[0] != 0, _ex(True), _ex(False), jnp.int32(0))
+        else:
+            cand, slab, kh_lo, kh_hi, covf, aovf = \
+                pallas_extract.extract_candidates(
+                    vlo, vhi, th_hi, th_lo, k=k, seed=seed,
+                    interpret=kernel_interpret, weighted=False)
 
         def accum_pages(carry, flat_cand):
             """Page the accumulator output without a re-sort (see
@@ -726,6 +750,7 @@ def _sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
                  lambda c: stage2_pages(c, cand_d2,
                                         compact=spill_compact)),
                 carry0)
+            hint_srcs = (cand, cand_d2, cand_d)
         else:
             tier = jnp.where(
                 covf != 0, jnp.int32(2),
@@ -737,6 +762,25 @@ def _sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
                                         compact=spill_compact),
                  run_two_stage_kh),
                 carry0)
+            hint_srcs = (cand,)
+        if w_ok:
+            # adaptive-absorb feedback: weight bits in any tier's spill-
+            # encoded candidates mean co-column duplicate collapse
+            # actually happened this batch (the weighted kernel's absorb
+            # plane, or the D/D2 kernels' in-column run sums) — only then
+            # does the weighted accumulator earn its sweeps next batch.
+            # Scattered/adjacent duplicates never co-column, so real-data
+            # streams stay on the cheap unweighted kernel while the
+            # stride-aligned burst adversary flips weighted within one
+            # batch (its first batch rides the exact D2/B fallbacks).
+            ws = jnp.uint64(2 * k + 2)
+            saw = jnp.zeros((), bool)
+            for a in hint_srcs:
+                saw = saw | jnp.any(jnp.where(
+                    a != U64_MAX, a >> ws, jnp.uint64(0))
+                    != jnp.uint64(0))
+            hint_out = jnp.where(saw, jnp.ones_like(hint),
+                                 jnp.zeros_like(hint))
     elif two_stage:
         # xla_aggregate turns duplicate-run aggregation + spill compaction
         # on for the pure-XLA path too (CPU test coverage of the weighted
@@ -765,16 +809,17 @@ def _sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
     else:
         below = below0
 
-    return (*state4, spill, fill), below
+    return (*state4, spill, fill, hint_out), below
 
 
 @partial(jax.jit, static_argnames=("k", "seed"))
 def flush_state(state, max_hash, *, k: int, seed: int):
     """Merge any spilled candidates into the state (finalize barrier)."""
-    sh, sc, se, spk, spill, fill = state
+    sh, sc, se, spk, spill, fill, hint = state
     state4, below = _flush((sh, sc, se, spk), spill, max_hash, k=k,
                            seed=seed)
-    return ((*state4, jnp.full_like(spill, U64_MAX), jnp.zeros_like(fill)),
+    return ((*state4, jnp.full_like(spill, U64_MAX), jnp.zeros_like(fill),
+             hint),
             below)
 
 
@@ -785,8 +830,8 @@ def grow_state(state, new_capacity_template):
     Grows the 4 sorted arrays and carries the spill contents over (the
     template's spill may be larger; spill_capacity is monotone in
     capacity, so the old contents always fit)."""
-    nh, nc, ne, npk, nspill, nfill = new_capacity_template
-    sh, sc, se, spk, spill, fill = state
+    nh, nc, ne, npk, nspill, nfill, nhint = new_capacity_template
+    sh, sc, se, spk, spill, fill, hint = state
     n = sh.shape[0]
     m = spill.shape[0]
     return (
@@ -796,6 +841,7 @@ def grow_state(state, new_capacity_template):
         npk.at[:n].set(spk),
         nspill.at[:m].set(spill),
         fill,
+        hint,
     )
 
 
@@ -819,4 +865,4 @@ def merge_states(states, *, k: int, seed: int):
     cap = states[0][0].shape[0]
     merged, _ = _dedup_truncate(h, c, e, pk, cap)
     return (*merged, jnp.full_like(states[0][4], U64_MAX),
-            jnp.zeros_like(states[0][5]))
+            jnp.zeros_like(states[0][5]), jnp.zeros_like(states[0][6]))

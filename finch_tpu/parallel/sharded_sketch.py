@@ -43,7 +43,7 @@ def _sharded_step(state, batch_packed, batch_rc, nvalid, max_hash,
         return (jax.tree.map(lambda x: x[None], new_state), below[None])
 
     spec = P(axis)
-    st_spec = (spec,) * 6
+    st_spec = (spec,) * 7
     # check_vma=False: the Pallas kernel inside produces outputs without
     # varying-mesh-axes annotations, which the checker rejects on TPU
     return shard_map(
@@ -66,7 +66,7 @@ def _sharded_finalize(state, *, mesh, axis, k, seed):
         return jax.tree.map(lambda x: x[None], merged)
 
     spec = P(axis)
-    st_spec = (spec,) * 6
+    st_spec = (spec,) * 7
     return shard_map(
         body, mesh=mesh,
         in_specs=(st_spec,),
@@ -147,7 +147,8 @@ class ShardedSketchEngine:
                 mk((n, capacity), 0, np.uint64),
                 mk((n, capacity), 0, np.uint64),
                 mk((n, sp), u64max, np.uint64),
-                mk((n, 1), 0, np.int32))
+                mk((n, 1), 0, np.int32),
+                mk((n, 1), 0, np.int32))  # adaptive-absorb hint
 
     def update(self, packed: np.ndarray, rc: np.ndarray) -> None:
         total = len(packed)
@@ -213,7 +214,7 @@ class ShardedSketchEngine:
                 _grow_cols(o, t, self.capacity)
                 for o, t in zip(old[:4], tmpl[:4])]
             new_sp = _copy_spill(old[4], tmpl[4])
-            self.state = (*grown, new_sp, old[5])
+            self.state = (*grown, new_sp, old[5], old[6])
             self.capacity = new_cap
 
     def _merged_arrays(self):
