@@ -2,7 +2,14 @@
 unweighted round-3 kernel, kernel-only and full-step, uniform and dup64.
 
 Differential N-vs-3N dispatches with running start offsets (endpoint
-result-cache safe); one JSON line out."""
+result-cache safe); one JSON line out.
+
+NOTE (r5): sequential config blocks are PHASE-CONFOUNDED on the shared
+endpoint — this script gave opposite verdicts in different sessions.
+Use benchmarks/bench_absorb_interleaved.py for the settled number
+(always-weighted +71% on uniform); this file is kept for the
+kernel-only phase breakdown."""
+
 
 import json
 import os
