@@ -750,7 +750,6 @@ def _sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
                  lambda c: stage2_pages(c, cand_d2,
                                         compact=spill_compact)),
                 carry0)
-            hint_srcs = (cand, cand_d2, cand_d)
         else:
             tier = jnp.where(
                 covf != 0, jnp.int32(2),
@@ -762,23 +761,32 @@ def _sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
                                         compact=spill_compact),
                  run_two_stage_kh),
                 carry0)
-            hint_srcs = (cand,)
         if w_ok:
-            # adaptive-absorb feedback: weight bits in any tier's spill-
-            # encoded candidates mean co-column duplicate collapse
-            # actually happened this batch (the weighted kernel's absorb
-            # plane, or the D/D2 kernels' in-column run sums) — only then
-            # does the weighted accumulator earn its sweeps next batch.
-            # Scattered/adjacent duplicates never co-column, so real-data
-            # streams stay on the cheap unweighted kernel while the
-            # stride-aligned burst adversary flips weighted within one
-            # batch (its first batch rides the exact D2/B fallbacks).
+            # adaptive-absorb feedback, kept O(1)-ish (an interleaved
+            # dup64 A/B measured array-scan feedback at +0.47 ms/step):
+            #  0 -> 1: the scalar "dedup tiers engaged with a complete
+            #    slab" signal (dirty & covf == 0) — duplicate pressure
+            #    without selection loss. One weighted trial batch
+            #    follows; if nothing co-column-collapses it drops back.
+            #  1 -> 1/0: weight bits in the weighted kernel's own
+            #    accumulator output (a single 64k-entry scan, and only
+            #    under the hint==1 branch) — absorption actually
+            #    happened, so the sweeps keep paying for themselves.
+            # Uniform streams: clean batches, hint stays 0, zero extra
+            # work. Stride-aligned bursts: flip within one batch (the
+            # first rides the exact D2/B fallbacks), then stick.
             ws = jnp.uint64(2 * k + 2)
-            saw = jnp.zeros((), bool)
-            for a in hint_srcs:
-                saw = saw | jnp.any(jnp.where(
-                    a != U64_MAX, a >> ws, jnp.uint64(0))
+
+            def _stay(_):
+                return jnp.any(jnp.where(
+                    cand != U64_MAX, cand >> ws, jnp.uint64(0))
                     != jnp.uint64(0))
+
+            def _engage(_):
+                return dirty & (covf == 0)
+
+            saw = jax.lax.cond(hint[0] != 0, _stay, _engage,
+                               jnp.int32(0))
             hint_out = jnp.where(saw, jnp.ones_like(hint),
                                  jnp.zeros_like(hint))
     elif two_stage:
