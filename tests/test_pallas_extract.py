@@ -958,3 +958,61 @@ def test_sketch_step_tier_d2_integration(n_copies, expect_d2):
     want = list(zip(eng.h.tolist(), eng.c.tolist(), eng.e.tolist(),
                     eng.pks[0].tolist()))
     assert got == want
+
+
+def test_adaptive_absorb_hint_lifecycle():
+    """The adaptive-absorb hint (state element 7) must (a) stay 0 through
+    a cold batch (covf fires), (b) flip to 1 when the dedup tiers engage
+    with a complete slab (duplicate pressure), and (c) drop back to 0
+    after a weighted batch that absorbed nothing co-column."""
+    import jax.numpy as jnp
+
+    from finch_tpu.ops import bottomk
+
+    k, seed, size = 21, 0, 256
+    nchunks = 8
+    b = nchunks * pe.COLH * pe.CHUNK_W
+    rng = np.random.default_rng(5)
+
+    p1 = rng.integers(0, 4 ** k, size=b, dtype=np.uint64)
+    rc1 = rng.integers(0, 2, size=b, dtype=np.uint8)
+
+    state = bottomk.empty_state(size)
+    assert int(np.asarray(state[6])[0]) == 0
+
+    def step(state, p, rc):
+        state, _ = bottomk.sketch_step(
+            state, jnp.asarray(p), jnp.asarray(rc), jnp.uint32(b),
+            jnp.uint64(0), k=k, seed=seed, has_max_hash=False,
+            use_kernel=True, kernel_interpret=True, absorb=True)
+        return state
+
+    # (a) cold batch: every lane survives the MAX threshold, chunk
+    # columns overflow (covf=1), hint must not engage
+    state = step(state, p1, rc1)
+    assert int(np.asarray(state[6])[0]) == 0
+
+    # (b) duplicate flood with a complete slab: place surviving values
+    # 5 rows per chunk in column 0 (covf stays 0, accumulator overflows)
+    h1 = murmur3_packed(p1, k, seed)
+    order = np.argsort(h1, kind="stable")
+    surv = np.unique(p1[order[:80]])[:40]
+    p2 = rng.integers(0, 4 ** k, size=b, dtype=np.uint64)
+    rc2 = rng.integers(0, 2, size=b, dtype=np.uint8)
+    for c in range(nchunks):
+        for r in range(5):
+            lane = c * (pe.COLH * pe.CHUNK_W) + r * pe.CHUNK_W
+            p2[lane] = surv[0]  # 40 copies of ONE surviving value
+            rc2[lane] = 0
+    state = step(state, p2, rc2)
+    assert int(np.asarray(state[6])[0]) == 1
+
+    # (c) a batch with no survivors at all: the weighted kernel runs
+    # (hint==1) but absorbs nothing, so the hint must drop
+    # use values whose hashes exceed the warmed threshold: recycle p1's
+    # LARGEST-hash values (they were truncated out of the 256-state)
+    p3 = p1[order[-b // 4:]]
+    p3 = np.tile(p3, 4)[:b]
+    rc3 = np.zeros(b, dtype=np.uint8)
+    state = step(state, p3, rc3)
+    assert int(np.asarray(state[6])[0]) == 0
