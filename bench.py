@@ -106,9 +106,11 @@ def main() -> None:
 
     kmers_per_sec = batch * 2 * timed_steps / max(t_big - t_small, 1e-9)
 
-    def measure_stream(plo, phi, warm=None):
+    def measure_stream(plo, phi, warm=None, reps=3):
         """Warm a fresh state on the stream, then run the differential
-        N-vs-3N protocol (same jit program `run`).
+        N-vs-3N protocol (same jit program `run`), min over `reps`
+        attempts (the endpoint's phase drift — see the 4-rep uniform
+        loop above).
 
         Duplicate streams carry 64x fewer distinct values per batch, so
         their admission threshold needs ~64x more steps to decay to the
@@ -121,7 +123,7 @@ def main() -> None:
                 jnp.int32(warm if warm is not None else warm_steps))
         sync(s)
         t_s = t_b = float("inf")
-        for _ in range(2):
+        for _ in range(reps):
             t0 = time.perf_counter()
             s = run(s, plo, phi, jnp.int32(start), jnp.int32(timed_steps))
             sync(s)

@@ -762,28 +762,41 @@ def _sketch_step(state, batch_packed, batch_rc, nvalid, max_hash,
                  run_two_stage_kh),
                 carry0)
         if w_ok:
-            # adaptive-absorb feedback, kept O(1)-ish (an interleaved
-            # dup64 A/B measured array-scan feedback at +0.47 ms/step):
-            #  0 -> 1: the scalar "dedup tiers engaged with a complete
-            #    slab" signal (dirty & covf == 0) — duplicate pressure
-            #    without selection loss. One weighted trial batch
-            #    follows; if nothing co-column-collapses it drops back.
-            #  1 -> 1/0: weight bits in the weighted kernel's own
-            #    accumulator output (a single 64k-entry scan, and only
-            #    under the hint==1 branch) — absorption actually
-            #    happened, so the sweeps keep paying for themselves.
-            # Uniform streams: clean batches, hint stays 0, zero extra
-            # work. Stride-aligned bursts: flip within one batch (the
-            # first rides the exact D2/B fallbacks), then stick.
+            # adaptive-absorb feedback, kept cheap (an interleaved dup64
+            # A/B measured always-on array-scan feedback at +0.47
+            # ms/step; these scans run only under their cond branches):
+            #  0 -> 1: when the dedup tiers engaged with a complete slab
+            #    (dirty & covf == 0), measure D2's in-column collapse —
+            #    weighted absorption can only ever recover what D2's
+            #    column sort recovers, so D2's saved fraction predicts
+            #    the sweeps' value without running them.
+            #  1 -> 1/0: the weighted kernel's own accumulator output.
+            # Either way the criterion is absorbed mass >= 1/4 of
+            # survivor occurrences: a stride-aligned 64x burst collapses
+            # ~63/64 (stays/engages weighted), while scattered
+            # duplicates co-column only by birthday accident (~1/64 —
+            # stays on the cheap kernel; tiers D2/B carry the load).
+            # Uniform streams: clean batches, no scans, hint stays 0.
             ws = jnp.uint64(2 * k + 2)
 
-            def _stay(_):
-                return jnp.any(jnp.where(
-                    cand != U64_MAX, cand >> ws, jnp.uint64(0))
-                    != jnp.uint64(0))
+            def _worth(a):
+                w = jnp.where(a != U64_MAX, a >> ws, jnp.uint64(0))
+                absorbed = jnp.sum(w)
+                occ = absorbed + jnp.sum(
+                    (a != U64_MAX).astype(jnp.uint64))
+                return ((absorbed > jnp.uint64(0))
+                        & (absorbed * jnp.uint64(4) >= occ))
 
-            def _engage(_):
-                return dirty & (covf == 0)
+            def _stay(_):
+                return _worth(cand)
+
+            if dedup_tier and pallas_extract.supports_dedup(k, b) \
+                    and pallas_extract.supports_dedup_slab(k, b):
+                def _engage(_):
+                    return dirty & (covf == 0) & _worth(cand_d2)
+            else:
+                def _engage(_):
+                    return dirty & (covf == 0)
 
             saw = jax.lax.cond(hint[0] != 0, _stay, _engage,
                                jnp.int32(0))

@@ -992,12 +992,16 @@ def test_adaptive_absorb_hint_lifecycle():
     state = step(state, p1, rc1)
     assert int(np.asarray(state[6])[0]) == 0
 
-    # (b) duplicate flood with a complete slab: place surviving values
-    # 5 rows per chunk in column 0 (covf stays 0, accumulator overflows)
+    # (b) duplicate flood with a complete slab: 40 copies of ONE
+    # surviving value, 5 rows per chunk in column 0 (covf stays 0, the
+    # accumulator overflows, D2 collapses 39/40 = 97.5% >= the 1/4
+    # worth-it bar). Background lanes recycle ABOVE-threshold values so
+    # the flood dominates the survivor mass.
     h1 = murmur3_packed(p1, k, seed)
     order = np.argsort(h1, kind="stable")
     surv = np.unique(p1[order[:80]])[:40]
-    p2 = rng.integers(0, 4 ** k, size=b, dtype=np.uint64)
+    above = p1[order[4 * size:]]
+    p2 = np.tile(above, 2)[:b].copy()
     rc2 = rng.integers(0, 2, size=b, dtype=np.uint8)
     for c in range(nchunks):
         for r in range(5):
