@@ -3,9 +3,12 @@
 Usage: python examples/sketch_and_search.py query.fq ref1.fa ref2.fa ...
 """
 
+import os
 import sys
 
-import finch_tpu as ft
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import finch_tpu as ft  # noqa: E402
 
 
 def main() -> None:
